@@ -1,0 +1,83 @@
+"""Kronecker-structured axis application — the framework's core contraction.
+
+One primitive serves two hot paths:
+
+1. **Statevector gate application** (the PQC simulator): a k-qubit gate is a
+   ``(2^k, 2^k)`` matrix applied to k axes of the ``(2,)*n`` state tensor.
+2. **KSD base-kernel matvec**: the Hamming kernel
+   ``k(z, z') = a^{hamming(z, z')}`` factorizes as the Kronecker power
+   ``K = A^{⊗n}`` with ``A = [[1, a], [a, 1]]``, so ``K @ q`` is n sequential
+   2x2-axis applications — O(n·2^n) instead of the O(4^n) dense product. With
+   axes grouped in blocks of 7 the per-block matrix is 128x128, exactly one
+   MXU tile.
+
+Axis convention: variable/qubit 0 is the most significant bit of the flat
+state index (see ``core.bits``), i.e. axis 0 of the ``(2,)*n`` view.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def kron_power_np(A: np.ndarray, g: int) -> np.ndarray:
+    """A^{⊗g} as a dense (2^g, 2^g) numpy array (host, float64)."""
+    M = np.array([[1.0]], dtype=np.float64)
+    for _ in range(g):
+        M = np.kron(M, np.asarray(A, dtype=np.float64))
+    return M
+
+
+def apply_adjacent_block(v: jnp.ndarray, M: jnp.ndarray, start: int, g: int, num_vars: int) -> jnp.ndarray:
+    """Apply M (2^g x 2^g) to the adjacent variable block [start, start+g).
+
+    ``v`` has shape ``(2^n,)`` or ``(2^n, C)`` (trailing channel axis). The
+    contraction is a single ``(2^g)``-dim matmul over a reshaped view — on TPU
+    this lands on the MXU when ``2^g`` is a multiple of the tile size.
+    """
+    batched = v.ndim == 2
+    c = v.shape[1] if batched else 1
+    pre = 1 << start
+    blk = 1 << g
+    post = (1 << (num_vars - start - g)) * c
+    vr = v.reshape(pre, blk, post)
+    out = jnp.einsum("ij,ajb->aib", M, vr, preferred_element_type=vr.dtype)
+    return out.reshape(v.shape)
+
+
+def kron_matvec(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 7) -> jnp.ndarray:
+    """(A^{⊗n}) @ v via grouped adjacent-block applications.
+
+    ``v``: ``(2^n,)`` or ``(2^n, C)`` — all C columns share the contraction,
+    amortizing bandwidth. ``A`` is a host-side 2x2 (any square) matrix; the
+    grouped powers are folded into the jitted program as constants.
+    """
+    if num_vars == 0:
+        return v
+    dtype = v.dtype
+    out = v
+    s = 0
+    while s < num_vars:
+        g = min(group, num_vars - s)
+        M = jnp.asarray(kron_power_np(A, g), dtype=dtype)
+        out = apply_adjacent_block(out, M, s, g, num_vars)
+        s += g
+    return out
+
+
+def apply_to_wires(state_nd: jnp.ndarray, U: jnp.ndarray, wires) -> jnp.ndarray:
+    """Apply a k-wire operator U (2^k x 2^k) to axes ``wires`` of the
+    ``(2,)*n`` state tensor (arbitrary, possibly non-adjacent wires).
+
+    The simulator's gate primitive: ``jnp.tensordot`` contracts the input
+    axes, then ``moveaxis`` restores wire order. XLA fuses the transpose into
+    the contraction.
+    """
+    wires = list(wires)
+    k = len(wires)
+    U_nd = U.reshape((2,) * (2 * k))
+    out = jnp.tensordot(U_nd, state_nd, axes=(list(range(k, 2 * k)), wires))
+    return jnp.moveaxis(out, list(range(k)), wires)

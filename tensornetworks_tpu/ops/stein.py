@@ -1,0 +1,231 @@
+"""Discrete kernelized Stein discrepancy over {0,1}^n as dense linear algebra.
+
+Rebuilds ``stein_utils.py`` (reference) around one observation: the Stein
+kernel ``k_p(z_i, z_j)`` ("Eq. 13") depends on θ not at all — it is a fixed
+``(2^n, 2^n)`` matrix ``K_p`` determined by the Bayesian network (through the
+score table S) and the base Hamming kernel. The reference recomputes every
+entry with Python-scalar torch ops **every epoch**
+(``ksd_vi.py:114-131`` + ``stein_utils.py:138-197``); here the whole Gram is
+assembled **once** from closed forms, and each training step is
+``loss = sqrt(qᵀ K_p q)`` — a matmul.
+
+Closed form. With ``a = exp(-1/(n·l))``, ``K[i,j] = a^{d_ij}`` and bits
+matrix ``B``, flipping bit m of z_j multiplies ``K[i,j]`` by ``1/a`` when
+``bit_m(i^j)=1`` and by ``a`` otherwise. Substituting into the four Stein
+terms gives ``K_p = K ∘ W`` where (c1 = 1-1/a, c2 = 1-a, T1[i,j] =
+Σ_{m:bit_m(i^j)=1} S[i,m], R = S·1, D = Hamming distance matrix):
+
+    W = S Sᵀ - c1·(T1 + T1ᵀ) - c2·(R 1ᵀ + 1 Rᵀ - T1 - T1ᵀ)
+        + 2n(1-a) - 2(1/a - a)·D
+
+and every matrix above is a product of ``(2^n, n)`` factors — pure MXU work.
+
+For large n the Gram is never materialized: ``K = A^{⊗n}`` (Kronecker), so
+``K_p @ q`` decomposes into 3n+1 Kronecker matvecs (see ``stein_matvec``),
+O(n²·2^n) total. Verified against the reference's 1-D analytic oracles
+(``stein_utils.py:229-252``) in tests/test_stein.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.bits import all_bitstrings
+from .hamming import decay_factor
+from .kron import kron_matvec
+
+# Reference zero-probability guard threshold (stein_utils.py:126).
+SCORE_EPS = 1e-12
+
+
+# ------------------------------------------------------------------- scores
+
+
+def score_table(cond_joint: np.ndarray, eps: float = SCORE_EPS) -> np.ndarray:
+    """Score matrix S[i, m] = 1 - p(x, flip_m z_i) / p(x, z_i), float64.
+
+    ``cond_joint`` is the dense ``t[z] = p(x, z)`` table from
+    ``BayesianNetwork.conditional_joint_table``. Rows with ``t < eps`` are
+    zeroed, matching ``stein_utils.py:115-136``.
+    """
+    t = np.asarray(cond_joint, dtype=np.float64)
+    size = t.shape[0]
+    n = int(size).bit_length() - 1
+    if 2**n != size:
+        raise ValueError("conditional joint table length must be a power of 2")
+    if n == 0:
+        return np.zeros((1, 0), dtype=np.float64)
+    idx = np.arange(size, dtype=np.int64)
+    S = np.zeros((size, n), dtype=np.float64)
+    safe_t = np.where(np.abs(t) < eps, 1.0, t)
+    for m in range(n):
+        flipped = idx ^ (1 << (n - 1 - m))
+        S[:, m] = 1.0 - t[flipped] / safe_t
+    S[np.abs(t) < eps, :] = 0.0
+    return S
+
+
+def score_table_from_log(log_t: jnp.ndarray, num_vars: int, log_eps: float = np.log(SCORE_EPS)) -> jnp.ndarray:
+    """On-device score table from a log joint table (for very large n)."""
+    if num_vars == 0:
+        return jnp.zeros((1, 0), dtype=log_t.dtype)
+    idx = jnp.arange(log_t.shape[0], dtype=jnp.int32)
+    cols = []
+    for m in range(num_vars):
+        flipped = idx ^ (1 << (num_vars - 1 - m))
+        cols.append(1.0 - jnp.exp(log_t[flipped] - log_t))
+    S = jnp.stack(cols, axis=1)
+    return jnp.where(log_t[:, None] < log_eps, 0.0, S)
+
+
+# --------------------------------------------------------------- dense Gram
+
+
+def stein_gram_dense(S, num_vars: int, length_scale: float = 1.0, dtype=jnp.float32) -> jnp.ndarray:
+    """The full (2^n, 2^n) Stein Gram matrix K_p, assembled via matmuls.
+
+    Use for n ≲ 13 where 4^n memory is fine; one-time cost, reused for every
+    epoch's ``qᵀ K_p q``.
+    """
+    S = jnp.asarray(S, dtype=dtype)
+    B = jnp.asarray(all_bitstrings(num_vars), dtype=dtype)
+    if num_vars == 0:
+        return jnp.zeros((1, 1), dtype=dtype)
+    a = decay_factor(num_vars, length_scale)
+    h = B.sum(axis=1)
+    D = h[:, None] + h[None, :] - 2.0 * (B @ B.T)
+    K = jnp.power(jnp.asarray(a, dtype=dtype), D)
+    G = S @ S.T
+    u = (S * B).sum(axis=1)
+    T1 = u[:, None] + S @ B.T - 2.0 * ((S * B) @ B.T)
+    R = S.sum(axis=1)
+    c1 = 1.0 - 1.0 / a
+    c2 = 1.0 - a
+    W = (
+        G
+        - c1 * (T1 + T1.T)
+        - c2 * (R[:, None] + R[None, :] - T1 - T1.T)
+        + 2.0 * num_vars * (1.0 - a)
+        - 2.0 * (1.0 / a - a) * D
+    )
+    return K * W
+
+
+# ------------------------------------------------------------ matvec (large n)
+
+
+def stein_matvec(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray, num_vars: int,
+                 length_scale: float = 1.0, group: int = 7) -> jnp.ndarray:
+    """y = K_p @ q without materializing K_p: O(n²·2^n).
+
+    Batches 3n+1 weighted copies of q through the Kronecker base-kernel
+    matvec (one fused multi-column pass), then recombines with closed-form
+    row-wise weights. See module docstring for the derivation.
+    """
+    n = num_vars
+    if n == 0:
+        return jnp.zeros_like(q)
+    a = decay_factor(n, length_scale)
+    A = np.array([[1.0, a], [a, 1.0]])
+    SB = S * B
+    V = jnp.concatenate(
+        [q[:, None], B * q[:, None], S * q[:, None], SB * q[:, None]], axis=1
+    )  # (2^n, 3n+1)
+    Y = kron_matvec(V, A, n, group=group)
+    P0 = Y[:, 0]
+    P = Y[:, 1 : n + 1]          # K(b_m ∘ q)
+    Q = Y[:, n + 1 : 2 * n + 1]  # K(S_m ∘ q)
+    T = Y[:, 2 * n + 1 :]        # K(S_m ∘ b_m ∘ q)
+
+    u = SB.sum(axis=1)
+    R = S.sum(axis=1)
+    h = B.sum(axis=1)
+    c1 = 1.0 - 1.0 / a
+    c2 = 1.0 - a
+
+    term_G = (S * Q).sum(axis=1)
+    y_T1 = u * P0 + (S * (1.0 - 2.0 * B) * P).sum(axis=1)
+    y_T1t = T.sum(axis=1) + (B * (Q - 2.0 * T)).sum(axis=1)
+    y_Ri = R * P0
+    y_Rj = Q.sum(axis=1)
+    y_D = h * P0 + P.sum(axis=1) - 2.0 * (B * P).sum(axis=1)
+
+    return (
+        term_G
+        - c1 * (y_T1 + y_T1t)
+        - c2 * (y_Ri + y_Rj - y_T1 - y_T1t)
+        + 2.0 * n * (1.0 - a) * P0
+        - 2.0 * (1.0 / a - a) * y_D
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ksd_quadform(q, S, B, num_vars: int, length_scale: float = 1.0, group: int = 7):
+    """qᵀ K_p q via the matvec path, with a custom VJP.
+
+    K_p is symmetric, so ∂(qᵀKq)/∂q = 2·K_p q — the forward matvec is reused
+    as the gradient, halving backward cost. S and B are treated as constants
+    (their cotangents are zero): do **not** differentiate through them.
+    """
+    y = stein_matvec(q, S, B, num_vars, length_scale, group)
+    return jnp.dot(q, y)
+
+
+def _ksd_quadform_fwd(q, S, B, num_vars, length_scale, group):
+    y = stein_matvec(q, S, B, num_vars, length_scale, group)
+    return jnp.dot(q, y), (y, S, B)
+
+
+def _ksd_quadform_bwd(num_vars, length_scale, group, res, g):
+    y, S, B = res
+    return (2.0 * g * y, jnp.zeros_like(S), jnp.zeros_like(B))
+
+
+ksd_quadform.defvjp(_ksd_quadform_fwd, _ksd_quadform_bwd)
+
+
+# ---------------------------------------------------------------- operator
+
+
+class SteinOperator:
+    """Precompiled Stein Gram operator for one (BN, observation, kernel).
+
+    ``dense=True`` (default for n ≤ 12) materializes K_p once and evaluates
+    the quadratic form as a matmul; otherwise the Kronecker matvec path is
+    used. Both are jit-friendly; ``quadform`` is differentiable w.r.t. q.
+    """
+
+    DENSE_MAX_VARS = 12
+
+    def __init__(self, score: np.ndarray, num_vars: int, length_scale: float = 1.0,
+                 dtype=jnp.float32, dense: bool | None = None, group: int = 7):
+        self.num_vars = num_vars
+        self.length_scale = float(length_scale)
+        self.group = group
+        self.dense = dense if dense is not None else num_vars <= self.DENSE_MAX_VARS
+        self.S = jnp.asarray(score, dtype=dtype)
+        self.B = jnp.asarray(all_bitstrings(num_vars), dtype=dtype)
+        self.gram = (
+            stein_gram_dense(self.S, num_vars, length_scale, dtype=dtype)
+            if self.dense
+            else None
+        )
+
+    def matvec(self, q: jnp.ndarray) -> jnp.ndarray:
+        if self.dense:
+            return self.gram @ q
+        return stein_matvec(q, self.S, self.B, self.num_vars, self.length_scale, self.group)
+
+    def quadform(self, q: jnp.ndarray) -> jnp.ndarray:
+        """qᵀ K_p q (the squared KSD of the distribution q)."""
+        if self.dense:
+            return jnp.dot(q, self.gram @ q)
+        return ksd_quadform(q, self.S, self.B, self.num_vars, self.length_scale, self.group)
+
+    def ksd_loss(self, q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+        """sqrt(clamp(qᵀ K_p q, eps)) — reference loss at ``ksd_vi.py:133-134``."""
+        return jnp.sqrt(jnp.clip(self.quadform(q), eps, None))

@@ -1,0 +1,65 @@
+"""Quantum gate library: constants and parameterized rotation builders.
+
+Matrices act on the MSB-first axis convention of ``core.bits``; wire 0 is
+axis 0 of the ``(2,)*n`` state tensor (PennyLane wire ordering, so
+probability vectors match ``qml.probs`` of the reference's circuits at
+``quantum_born_machine.py:57-128``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+_C = np.complex64
+
+H = np.array([[1, 1], [1, -1]], dtype=_C) / np.sqrt(2.0)
+X = np.array([[0, 1], [1, 0]], dtype=_C)
+Y = np.array([[0, -1j], [1j, 0]], dtype=_C)
+Z = np.array([[1, 0], [0, -1]], dtype=_C)
+S = np.array([[1, 0], [0, 1j]], dtype=_C)
+T = np.array([[1, 0], [0, np.exp(1j * np.pi / 4)]], dtype=_C)
+I2 = np.eye(2, dtype=_C)
+
+CNOT = np.array(
+    [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=_C
+)
+CZ = np.diag([1, 1, 1, -1]).astype(_C)
+SWAP = np.array(
+    [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], dtype=_C
+)
+
+
+def rx(theta) -> jnp.ndarray:
+    """RX(θ) = exp(-i θ X / 2)."""
+    c = jnp.cos(theta / 2)
+    s = jnp.sin(theta / 2)
+    return jnp.array([[c, -1j * s], [-1j * s, c]])
+
+
+def ry(theta) -> jnp.ndarray:
+    """RY(θ) = exp(-i θ Y / 2)."""
+    c = jnp.cos(theta / 2)
+    s = jnp.sin(theta / 2)
+    return jnp.array([[c, -s], [s, c]])
+
+
+def rz(theta) -> jnp.ndarray:
+    """RZ(θ) = exp(-i θ Z / 2)."""
+    e = jnp.exp(-0.5j * theta)
+    return jnp.array([[e, jnp.zeros_like(e)], [jnp.zeros_like(e), jnp.conj(e)]])
+
+
+def rot_zyx(ax, ay, az) -> jnp.ndarray:
+    """Fused RZ(az)·RY(ay)·RX(ax) — a circuit applying RX then RY then RZ.
+
+    Fusing the three rotations into one 2x2 unitary before application cuts
+    the per-qubit-per-layer axis contractions from 3 to 1 (the reference
+    applies them as separate PennyLane ops, ``quantum_born_machine.py:68-71``).
+    """
+    return rz(az) @ ry(ay) @ rx(ax)
+
+
+def rot_zy(ay, az) -> jnp.ndarray:
+    """Fused RZ(az)·RY(ay) for the 'basic' ansatz (RY then RZ)."""
+    return rz(az) @ ry(ay)

@@ -1,0 +1,48 @@
+"""On-device categorical sampling over the 2^n outcome space.
+
+Replaces the reference's host-side ``torch.multinomial`` + Python index→tuple
+loops (``born_machine_classical_sim.py:101-124``,
+``quantum_born_machine.py:153-178``) with ``jax.random.categorical`` and a
+vectorized bit-unpack — no host sync inside training steps.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.bits import jnp_index_to_bits
+
+
+def sample_indices(key: jax.Array, probs: jnp.ndarray, num_samples: int,
+                   eps: float = 1e-10) -> jnp.ndarray:
+    """Draw outcome indices ~ probs (with the reference's +1e-10 smoothing,
+    ``born_machine_classical_sim.py:105``)."""
+    p = probs + eps
+    logits = jnp.log(p / p.sum(axis=-1, keepdims=True))
+    return jax.random.categorical(key, logits, shape=(num_samples,) + probs.shape[:-1])
+
+
+def sample_bits(key: jax.Array, probs: jnp.ndarray, num_samples: int, num_vars: int,
+                dtype=jnp.float32) -> jnp.ndarray:
+    """(num_samples, n) float bit rows sampled from a (2^n,) distribution."""
+    idx = sample_indices(key, probs, num_samples)
+    return jnp_index_to_bits(idx, num_vars, dtype=dtype)
+
+
+def parameter_shift_jacobian(probs_fn, params: jnp.ndarray) -> jnp.ndarray:
+    """Parameter-shift rule Jacobian dp/dθ for circuits of RX/RY/RZ rotations:
+    dp/dθ_i = (p(θ + π/2 e_i) - p(θ - π/2 e_i)) / 2.
+
+    This is the differentiation method the reference *pays for at runtime*
+    (``diff_method="parameter-shift"``, ``quantum_born_machine.py:58``); here
+    it exists only as a validation oracle for ``jax.grad`` (tests assert the
+    two agree analytically).
+    """
+    num_params = params.shape[0]
+
+    def shift(i, sign):
+        return probs_fn(params.at[i].add(sign * jnp.pi / 2))
+
+    cols = [(shift(i, 1.0) - shift(i, -1.0)) / 2.0 for i in range(num_params)]
+    return jnp.stack(cols, axis=-1)  # (2^n, num_params)

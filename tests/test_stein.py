@@ -1,0 +1,186 @@
+"""Stein/KSD oracle tests.
+
+Golden values come from the reference's inline self-tests
+(``stein_utils.py:199-253``): closed-form 1-D Stein kernel values, score
+values, and the joint p(B=1, A=1)=0.12 on a hand-built 2-node network. The
+dense Gram and Kronecker matvec paths are additionally cross-checked against
+a brute-force Eq.-13 implementation written independently here.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tensornetworks_tpu.core import BayesianNetwork, all_bitstrings, get_sprinkler_network
+from tensornetworks_tpu.ops import (
+    SteinOperator,
+    base_hamming_kernel,
+    decay_factor,
+    hamming_kernel_matrix,
+    ksd_quadform,
+    score_table,
+    score_table_from_log,
+    stein_gram_dense,
+    stein_matvec,
+)
+
+import jax
+
+
+def make_ab_network():
+    # stein_utils.py:221-223 test network: P(A=1)=0.2; P(B=1|A=0)=0.3, P(B=1|A=1)=0.6.
+    bn = BayesianNetwork()
+    bn.add_node("A", cpt={(): {0: 0.8, 1: 0.2}})
+    bn.add_node("B", cpt={(0,): {0: 0.7, 1: 0.3}, (1,): {0: 0.4, 1: 0.6}}, parent_names=["A"])
+    return bn
+
+
+def brute_force_stein_gram(S, num_vars, length_scale=1.0):
+    """Direct Eq.-13 transcription with explicit bit flips (test oracle)."""
+    size = 2**num_vars
+    bits = all_bitstrings(num_vars).astype(np.float64)
+
+    def kernel(i, j):
+        d = np.abs(bits[i] - bits[j]).sum()
+        return np.exp(-d / (num_vars * length_scale))
+
+    def flip(i, m):
+        return i ^ (1 << (num_vars - 1 - m))
+
+    Kp = np.zeros((size, size))
+    for i in range(size):
+        for j in range(size):
+            k_ij = kernel(i, j)
+            term1 = S[i] @ S[j] * k_ij
+            d2 = np.array([k_ij - kernel(i, flip(j, m)) for m in range(num_vars)])
+            term2 = -S[i] @ d2
+            d1 = np.array([k_ij - kernel(flip(i, m), j) for m in range(num_vars)])
+            term3 = -d1 @ S[j]
+            term4 = sum(
+                k_ij - kernel(i, flip(j, m)) - kernel(flip(i, m), j)
+                + kernel(flip(i, m), flip(j, m))
+                for m in range(num_vars)
+            )
+            Kp[i, j] = term1 + term2 + term3 + term4
+    return Kp
+
+
+def test_base_kernel_oracle():
+    # stein_utils.py:208-218: d((0,0,1,1),(1,0,0,1)) = 2, k = exp(-2/4).
+    z1 = jnp.array([0.0, 0.0, 1.0, 1.0])
+    z2 = jnp.array([1.0, 0.0, 0.0, 1.0])
+    val = base_hamming_kernel(z1, z2, 4, 1.0)
+    assert abs(float(val) - np.exp(-0.5)) < 1e-12
+
+
+def test_hamming_kernel_matrix_kron_consistency():
+    # Dense Gram equals the Kronecker factorization applied to identity columns.
+    n = 4
+    K = np.asarray(hamming_kernel_matrix(n, 1.0, dtype=jnp.float64))
+    a = decay_factor(n, 1.0)
+    from tensornetworks_tpu.ops import kron_matvec
+
+    I = jnp.eye(2**n, dtype=jnp.float64)
+    K2 = np.asarray(kron_matvec(I, np.array([[1.0, a], [a, 1.0]]), n, group=3))
+    np.testing.assert_allclose(K, K2, atol=1e-12)
+
+
+def test_score_oracle_ab_network():
+    bn = make_ab_network()
+    t = bn.conditional_joint_table(["A"], {"B": 1})
+    # stein_utils.py:229-231: p(B=1, A=1) = 0.2*0.6 = 0.12
+    assert abs(t[1] - 0.12) < 1e-12
+    S = score_table(t)
+    # stein_utils.py:233-236: s_p(A=1) = -1.0, s_p(A=0) = 0.5
+    assert abs(S[1, 0] - (-1.0)) < 1e-12
+    assert abs(S[0, 0] - 0.5) < 1e-12
+
+
+def test_score_table_from_log_matches():
+    bn = get_sprinkler_network()
+    t = bn.conditional_joint_table(["C", "S", "R"], {"W": 1})
+    S_np = score_table(t)
+    S_jax = np.asarray(score_table_from_log(jnp.log(jnp.asarray(t)), 3))
+    np.testing.assert_allclose(S_np, S_jax, atol=1e-10)
+
+
+def test_score_zero_guard():
+    t = np.array([0.0, 0.3, 0.0, 0.7])
+    S = score_table(t)
+    assert np.all(S[0] == 0.0) and np.all(S[2] == 0.0)
+    assert np.isfinite(S).all()
+
+
+def test_stein_kernel_1d_oracles():
+    # stein_utils.py:239-252 closed forms.
+    bn = make_ab_network()
+    t = bn.conditional_joint_table(["A"], {"B": 1})
+    S = score_table(t)
+    Kp = np.asarray(stein_gram_dense(S, 1, 1.0, dtype=jnp.float64))
+    assert abs(Kp[0, 1] - (2 * np.exp(-1.0) - 2.5)) < 1e-12
+    assert abs(Kp[1, 0] - (2 * np.exp(-1.0) - 2.5)) < 1e-12
+    assert abs(Kp[0, 0] - (1.25 - np.exp(-1.0))) < 1e-12
+
+
+def test_dense_gram_matches_brute_force():
+    bn = get_sprinkler_network()
+    t = bn.conditional_joint_table(["C", "S", "R"], {"W": 1})
+    S = score_table(t)
+    Kp_dense = np.asarray(stein_gram_dense(S, 3, 1.0, dtype=jnp.float64))
+    Kp_brute = brute_force_stein_gram(S, 3, 1.0)
+    np.testing.assert_allclose(Kp_dense, Kp_brute, atol=1e-12)
+    # Symmetry + PSD (Stein Gram of a proper score is PSD).
+    np.testing.assert_allclose(Kp_dense, Kp_dense.T, atol=1e-12)
+    assert np.linalg.eigvalsh(Kp_brute).min() > -1e-10
+
+
+def test_matvec_matches_dense_random():
+    rng = np.random.default_rng(0)
+    for n in [1, 2, 3, 5]:
+        S = rng.normal(size=(2**n, n))
+        q = rng.random(2**n)
+        Kp = np.asarray(stein_gram_dense(S, n, 0.7, dtype=jnp.float64))
+        y_dense = Kp @ q
+        B = all_bitstrings(n).astype(np.float64)
+        y_mv = np.asarray(
+            stein_matvec(jnp.asarray(q), jnp.asarray(S), jnp.asarray(B), n, 0.7, group=3)
+        )
+        np.testing.assert_allclose(y_mv, y_dense, rtol=1e-10, atol=1e-10)
+
+
+def test_ksd_zero_at_true_posterior():
+    # KSD(q) = 0 iff q = p(z|x): the strongest end-to-end check of
+    # score table + Gram assembly (paper property, SURVEY.md §4).
+    bn = get_sprinkler_network()
+    t = bn.conditional_joint_table(["C", "S", "R"], {"W": 1})
+    S = score_table(t)
+    post = bn.posterior_vector(["C", "S", "R"], {"W": 1})
+    op = SteinOperator(S, 3, 1.0, dtype=jnp.float64)
+    val = float(op.quadform(jnp.asarray(post)))
+    assert abs(val) < 1e-12
+    # And strictly positive elsewhere.
+    q_uniform = jnp.full(8, 1.0 / 8, dtype=jnp.float64)
+    assert float(op.quadform(q_uniform)) > 1e-4
+
+
+def test_quadform_custom_vjp_matches_dense_grad():
+    bn = get_sprinkler_network()
+    t = bn.conditional_joint_table(["C", "S", "R"], {"W": 1})
+    S = score_table(t)
+    op_dense = SteinOperator(S, 3, 1.0, dtype=jnp.float64, dense=True)
+    op_mv = SteinOperator(S, 3, 1.0, dtype=jnp.float64, dense=False, group=2)
+    q = jnp.asarray(np.random.default_rng(1).random(8))
+    g_dense = jax.grad(op_dense.quadform)(q)
+    g_mv = jax.grad(op_mv.quadform)(q)
+    np.testing.assert_allclose(np.asarray(g_mv), np.asarray(g_dense), rtol=1e-10)
+    assert abs(float(op_dense.quadform(q)) - float(op_mv.quadform(q))) < 1e-10
+
+
+def test_ksd_loss_clamp():
+    bn = get_sprinkler_network()
+    t = bn.conditional_joint_table(["C", "S", "R"], {"W": 1})
+    S = score_table(t)
+    op = SteinOperator(S, 3, 1.0, dtype=jnp.float64)
+    post = bn.posterior_vector(["C", "S", "R"], {"W": 1})
+    # At the true posterior the quadform underflows the 1e-12 clamp:
+    # loss = sqrt(1e-12) = 1e-6 (reference ksd_vi.py:133-134 semantics).
+    assert abs(float(op.ksd_loss(jnp.asarray(post))) - 1e-6) < 1e-9

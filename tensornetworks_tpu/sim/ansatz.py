@@ -65,9 +65,12 @@ def _cnot_chain(state, n):
     return state
 
 
-def hardware_efficient_state(params: jnp.ndarray, num_wires: int, layers: int) -> jnp.ndarray:
+def hardware_efficient_state(params: jnp.ndarray, num_wires: int, layers: int,
+                             dtype=None) -> jnp.ndarray:
+    from .statevector import DEFAULT_DTYPE
+
     n = num_wires
-    state = hadamard_wall(zero_state(n))
+    state = hadamard_wall(zero_state(n, dtype=dtype or DEFAULT_DTYPE))
     off = 0
     for layer in range(layers):
         state, off = _rotation_layer_3(state, params, off, n)
@@ -79,9 +82,12 @@ def hardware_efficient_state(params: jnp.ndarray, num_wires: int, layers: int) -
     return state
 
 
-def all_to_all_state(params: jnp.ndarray, num_wires: int, layers: int) -> jnp.ndarray:
+def all_to_all_state(params: jnp.ndarray, num_wires: int, layers: int,
+                     dtype=None) -> jnp.ndarray:
+    from .statevector import DEFAULT_DTYPE
+
     n = num_wires
-    state = hadamard_wall(zero_state(n))
+    state = hadamard_wall(zero_state(n, dtype=dtype or DEFAULT_DTYPE))
     off = 0
     for _ in range(layers):
         state, off = _rotation_layer_3(state, params, off, n)
@@ -92,9 +98,12 @@ def all_to_all_state(params: jnp.ndarray, num_wires: int, layers: int) -> jnp.nd
     return state
 
 
-def basic_state(params: jnp.ndarray, num_wires: int, layers: int) -> jnp.ndarray:
+def basic_state(params: jnp.ndarray, num_wires: int, layers: int,
+                dtype=None) -> jnp.ndarray:
+    from .statevector import DEFAULT_DTYPE
+
     n = num_wires
-    state = zero_state(n)
+    state = zero_state(n, dtype=dtype or DEFAULT_DTYPE)
     off = 0
     for _ in range(layers):
         state, off = _rotation_layer_2(state, params, off, n)
@@ -116,10 +125,11 @@ def ansatz_state_fn(ansatz_type: str) -> Callable:
     return _STATE_FNS[ansatz_type]
 
 
-def ansatz_probs(params: jnp.ndarray, num_wires: int, layers: int, ansatz_type: str) -> jnp.ndarray:
+def ansatz_probs(params: jnp.ndarray, num_wires: int, layers: int, ansatz_type: str,
+                 dtype=None) -> jnp.ndarray:
     """Full analytic distribution |⟨z|ψ(θ)⟩|² over all 2^n outcomes.
 
     The reference's ``qml.probs(wires=range(n))`` with ``shots=None``
     (``quantum_born_machine.py:87``).
     """
-    return probabilities(ansatz_state_fn(ansatz_type)(params, num_wires, layers))
+    return probabilities(ansatz_state_fn(ansatz_type)(params, num_wires, layers, dtype=dtype))

@@ -39,23 +39,12 @@ def apply_diagonal(state: jnp.ndarray, diag: jnp.ndarray, wires: Sequence[int]) 
     """Apply a diagonal k-wire gate via broadcast multiply (no contraction)."""
     n = state.ndim
     k = len(wires)
-    shape = [1] * n
-    for w in wires:
-        shape[w] = 2
     d = jnp.asarray(diag, dtype=state.dtype).reshape((2,) * k)
-    # Place the k diag axes at the wire positions.
-    d_full = jnp.ones((2,) * k, dtype=state.dtype) * d
-    expand = d_full.reshape((2,) * k)
-    # Build an n-dim broadcastable view with diag axes at `wires`.
-    out_shape = shape
-    perm_view = jnp.reshape(expand, [2 if i in wires else 1 for i in range(n)]) \
-        if sorted(wires) == list(wires) else None
-    if perm_view is None:
-        # Unsorted wires: transpose diag axes to match ascending order first.
-        order = np.argsort(wires)
-        expand = jnp.transpose(expand, order)
-        perm_view = jnp.reshape(expand, [2 if i in wires else 1 for i in range(n)])
-    return state * perm_view
+    # Reorder diag axes to ascending wire order, then view with singleton
+    # axes everywhere else so the multiply broadcasts into place.
+    d = jnp.transpose(d, np.argsort(wires))
+    view = d.reshape([2 if i in wires else 1 for i in range(n)])
+    return state * view
 
 
 def apply_cz(state: jnp.ndarray, w1: int, w2: int) -> jnp.ndarray:

@@ -1,0 +1,297 @@
+"""Adversarial variational inference (prior-contrastive) engine.
+
+Rebuild of ``adversarial_vi.py`` (reference): an MLP discriminator is trained
+to separate Born-machine samples from prior samples; the Born machine is
+updated by REINFORCE on the reward ``logit_d(z, x) − log p(x|z)`` with an EMA
+baseline. The whole epoch — k_D discriminator steps, k_G REINFORCE steps,
+scheduler bookkeeping, TVD eval, best-snapshotting — is one ``lax.scan`` body
+jitted into a single XLA program; sampling uses on-device
+``jax.random.categorical`` and ``log p(x|z)`` is a precomputed ``2^n`` table
+gathered per sample (vs the reference's per-sample Python marginalization
+loop, ``adversarial_vi.py:60-102`` — SURVEY.md §3.3's hot spot).
+
+Matched semantics (reference file:line):
+- D loss: BCE-with-logits on batch Born (label 1) vs batch prior (label 0)
+  samples, k_classifier_steps per epoch (``adversarial_vi.py:151-182``)
+- classifier input z or concat(z, x) by declared input width (``:157-165``)
+- reward r = logit_d − log p(x|z); baseline initialized to the first batch
+  mean at epoch 0, then EMA with ``baseline_decay`` (``:200-214``)
+- entropy bonus hard-coded −0.01·log q inside the REINFORCE loss (``:219-221``)
+- loss_q = mean(log q · stop_grad(r − b) − bonus) (``:221``)
+- NaN/Inf guard skipping the Born update (``:223-231``)
+- per-epoch cosine LR stepping for both optimizers (``:237-240``)
+- log p(x|z) edge cases: prior(z) < 1e-9 ⇒ ±inf; else log(p + 1e-9) (``:91-100``)
+- best-TVD state snapshots for both networks, restored after training
+  (``:243-268``; the reference gates restoration on ``verbose`` — fixed here).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.bayes_net import BayesianNetwork
+from ..core.bits import generate_all_binary_outcomes, jnp_index_to_bits
+from ..models.born_classical import ClassicalBornMachine
+from ..models.classifier import BinaryClassifierMLP
+from .common import global_norm, guarded_update, history_to_numpy, make_optimizer, tree_select
+from .ksd import _posterior_vec_from
+
+
+class AdversarialVariationalInference:
+    def __init__(self, bayesian_network: BayesianNetwork, latent_vars_names: Sequence[str],
+                 observed_vars_names: Sequence[str], born_machine_config: dict,
+                 classifier_config: dict, dtype=jnp.float32, seed: int = 0):
+        self.bn = bayesian_network
+        self.latent_vars_names = list(latent_vars_names)
+        self.observed_vars_names = list(observed_vars_names)
+        self.num_latent_vars = len(latent_vars_names)
+        self.num_observed_vars = len(observed_vars_names)
+        self.dtype = dtype
+        self.seed = seed
+
+        # Reference forces small_random init (adversarial_vi.py:27).
+        born_machine_config = {**born_machine_config, "init_method": "small_random"}
+        self.born_machine = ClassicalBornMachine(
+            num_latent_vars=self.num_latent_vars, dtype=dtype, **born_machine_config
+        )
+        classifier_input_dim = self.num_latent_vars
+        if born_machine_config.get("conditioning_dim", 0) > 0:
+            classifier_input_dim += born_machine_config["conditioning_dim"]
+        self.classifier = BinaryClassifierMLP(input_dim=classifier_input_dim,
+                                              **classifier_config)
+        self.classifier_input_dim = classifier_input_dim
+
+        k0, k1 = jax.random.split(jax.random.PRNGKey(seed))
+        self.born_params = self.born_machine.init(k0)
+        self.classifier_vars = self.classifier.init_variables(k1)
+
+        # Tabulated prior p(z), renormalized if needed (adversarial_vi.py:37-47).
+        prior = self.bn.marginal_table(self.latent_vars_names)
+        s = prior.sum()
+        if s > 0 and not np.isclose(s, 1.0):
+            prior = prior / s
+        self.prior_z_probs = jnp.asarray(prior, dtype=dtype)
+        self.prior_z_dist_dict = {
+            t: float(prior[i])
+            for i, t in enumerate(generate_all_binary_outcomes(self.num_latent_vars))
+        }
+        self.history_: Optional[dict] = None
+        self._x_condition = None
+
+    # ---------------------------------------------------------------- tables
+
+    def _log_p_x_given_z_table(self, x_observation_dict) -> np.ndarray:
+        """Dense log p(x|z) over all 2^n z, with the reference's edge cases
+        (adversarial_vi.py:91-100): prior < 1e-9 ⇒ ±inf; else log(p + 1e-9)."""
+        joint = self.bn.conditional_joint_table(self.latent_vars_names, x_observation_dict)
+        prior = np.asarray(self.prior_z_probs, dtype=np.float64)
+        out = np.empty_like(joint)
+        low_prior = prior < 1e-9
+        ratio = np.where(low_prior, 1.0, joint / np.where(low_prior, 1.0, prior))
+        out = np.log(ratio + 1e-9)
+        out[low_prior & (joint > 1e-9)] = np.inf
+        out[low_prior & (joint <= 1e-9)] = -np.inf
+        return out
+
+    # ----------------------------------------------------------------- train
+
+    def train(self, x_observation_dict: Dict[str, int], num_epochs: int, batch_size: int,
+              lr_born_machine: float, lr_classifier: float, k_classifier_steps: int = 1,
+              k_born_steps: int = 1, verbose: bool = True, true_posterior_for_tvd=None,
+              use_lr_scheduler: bool = True, gradient_clip_norm: float = 10.0,
+              baseline_decay: float = 0.99, optimizer_type: str = "adam",
+              adam_betas=(0.9, 0.999), seed: Optional[int] = None) -> dict:
+        if self.num_observed_vars > 0 and set(x_observation_dict) != set(self.observed_vars_names):
+            raise ValueError("Keys in x_observation_dict must match self.observed_vars_names.")
+
+        n = self.num_latent_vars
+        dtype = self.dtype
+        x_obs = jnp.asarray(
+            [x_observation_dict[nm] for nm in self.observed_vars_names], dtype=dtype
+        )
+        x_cond = None
+        if self.born_machine.conditioning_dim > 0:
+            if self.num_observed_vars == 0:
+                raise ValueError("Born machine is conditional but no observed vars specified.")
+            if self.born_machine.conditioning_dim != self.num_observed_vars:
+                raise ValueError("Born machine conditioning_dim must match num_observed_vars.")
+            x_cond = x_obs
+        self._x_condition = x_cond
+
+        include_x = (
+            self.classifier_input_dim == n + self.num_observed_vars
+            and self.num_observed_vars > 0
+        )
+        log_p_table = jnp.asarray(self._log_p_x_given_z_table(x_observation_dict), dtype=dtype)
+        posterior_vec = _posterior_vec_from(true_posterior_for_tvd, n, dtype)
+        track_tvd = posterior_vec is not None
+
+        opt_born = make_optimizer(optimizer_type, lr_born_machine, num_epochs,
+                                  use_lr_scheduler, adam_betas, gradient_clip_norm,
+                                  steps_per_epoch=k_born_steps)
+        opt_clf = make_optimizer(optimizer_type, lr_classifier, num_epochs,
+                                 use_lr_scheduler, adam_betas, gradient_clip_norm,
+                                 steps_per_epoch=k_classifier_steps)
+
+        bm = self.born_machine
+        clf = self.classifier
+        prior_logits = jnp.log(jnp.clip(self.prior_z_probs, 1e-30, None))
+        has_batch_stats = "batch_stats" in self.classifier_vars
+
+        def clf_input(z):
+            if include_x:
+                xb = jnp.broadcast_to(x_obs, (z.shape[0], x_obs.shape[0]))
+                return jnp.concatenate([z, xb], axis=1)
+            return z
+
+        def sample_q(bp, key, rng):
+            p = bm.probs(bp, x_cond, train=True, dropout_rng=rng)
+            pp = p + 1e-10
+            logits = jnp.log(pp / pp.sum())
+            idx = jax.random.categorical(key, logits, shape=(batch_size,))
+            return jnp_index_to_bits(idx, n, dtype=dtype), idx
+
+        def sample_prior(key):
+            idx = jax.random.categorical(key, prior_logits, shape=(batch_size,))
+            return jnp_index_to_bits(idx, n, dtype=dtype)
+
+        def clf_apply(cv, x, train):
+            if has_batch_stats and train:
+                logits, updates = clf.apply(cv, x, train=True, mutable=["batch_stats"])
+                return logits, {**cv, **updates}
+            return clf.apply(cv, x, train=train), cv
+
+        def epoch_step(carry, epoch):
+            (bp, bo, cv, co, key, baseline,
+             best_tvd, best_epoch, best_bp, best_cv, best_probs) = carry
+
+            # --- Discriminator phase (adversarial_vi.py:151-182) ---
+            loss_d = jnp.asarray(0.0, dtype)
+            gnorm_d = jnp.asarray(0.0, dtype)
+            for _ in range(k_classifier_steps):
+                key, kq, kp, kd = jax.random.split(key, 4)
+                z_born, _ = sample_q(bp, kq, kd)
+                z_prior = sample_prior(kp)
+                inputs = jnp.concatenate([clf_input(z_born), clf_input(z_prior)], axis=0)
+                labels = jnp.concatenate(
+                    [jnp.ones((batch_size, 1), dtype), jnp.zeros((batch_size, 1), dtype)], axis=0
+                )
+
+                def d_loss_fn(params_cv):
+                    vars_ = {**cv, "params": params_cv}
+                    logits, new_vars = clf_apply(vars_, inputs, train=True)
+                    # BCEWithLogits, mean reduction.
+                    l = jnp.mean(
+                        jnp.clip(logits, 0, None) - logits * labels
+                        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+                    )
+                    return l, new_vars
+
+                (loss_d, new_vars), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                    cv["params"]
+                )
+                gnorm_d = global_norm(grads)
+                new_p, co = guarded_update(opt_clf, grads, co, cv["params"],
+                                           jnp.isfinite(loss_d))
+                cv = {**new_vars, "params": new_p}
+
+            # --- Born (REINFORCE) phase (adversarial_vi.py:187-231) ---
+            loss_q = jnp.asarray(jnp.nan, dtype)
+            gnorm_q = jnp.asarray(0.0, dtype)
+            for _ in range(k_born_steps):
+                key, kq, kd = jax.random.split(key, 3)
+
+                def q_loss_fn(bp_):
+                    z_q, idx = sample_q(bp_, kq, kd)
+                    logits_d, _ = clf_apply(cv, clf_input(z_q), train=False)
+                    logit_vals = logits_d[:, 0]
+                    log_p = log_p_table[idx]
+                    raw_reward = logit_vals - log_p
+                    batch_mean = jax.lax.stop_gradient(raw_reward.mean())
+                    new_baseline = jnp.where(
+                        epoch == 0,
+                        batch_mean,
+                        baseline_decay * baseline + (1 - baseline_decay) * batch_mean,
+                    )
+                    reinforce = raw_reward - new_baseline
+                    p = bm.probs(bp_, x_cond, train=True, dropout_rng=kd)
+                    log_q = jnp.log(jnp.clip(p, 1e-10, None))[idx]
+                    entropy_bonus = -0.01 * log_q  # hard-coded, adversarial_vi.py:219
+                    loss = (log_q * jax.lax.stop_gradient(reinforce) - entropy_bonus).mean()
+                    return loss, new_baseline
+
+                (loss_q, baseline), grads = jax.value_and_grad(q_loss_fn, has_aux=True)(bp)
+                gnorm_q = global_norm(grads)
+                bp, bo = guarded_update(opt_born, grads, bo, bp, jnp.isfinite(loss_q))
+
+            # --- TVD eval + best snapshot (adversarial_vi.py:243-254) ---
+            if track_tvd:
+                q_eval = bm.probs(bp, x_cond)
+                tvd = 0.5 * jnp.abs(q_eval - posterior_vec).sum()
+                improved = tvd < best_tvd
+                best_tvd = jnp.where(improved, tvd, best_tvd)
+                best_epoch = jnp.where(improved, epoch, best_epoch)
+                best_bp = tree_select(improved, bp, best_bp)
+                best_cv = tree_select(improved, cv, best_cv)
+                best_probs = jnp.where(improved, q_eval, best_probs)
+            else:
+                tvd = jnp.asarray(jnp.nan, dtype)
+
+            carry = (bp, bo, cv, co, key, baseline,
+                     best_tvd, best_epoch, best_bp, best_cv, best_probs)
+            return carry, (loss_d, loss_q, tvd, gnorm_q, gnorm_d)
+
+        def run(bp0, cv0, key):
+            bo0 = opt_born.init(bp0)
+            co0 = opt_clf.init(cv0["params"])
+            q0 = bm.probs(bp0, x_cond)
+            init = (bp0, bo0, cv0, co0, key, jnp.asarray(0.0, dtype),
+                    jnp.asarray(jnp.inf, dtype), jnp.asarray(-1), bp0, cv0, q0)
+            carry, outs = jax.lax.scan(epoch_step, init, jnp.arange(num_epochs))
+            (bp, _, cv, _, _, _, best_tvd, best_epoch, best_bp, best_cv, best_probs) = carry
+            return dict(born_params=bp, classifier_vars=cv, best_tvd=best_tvd,
+                        best_epoch=best_epoch, best_born=best_bp, best_clf=best_cv,
+                        best_probs=best_probs, outs=outs)
+
+        run_jit = jax.jit(run)
+        t0 = time.perf_counter()
+        out = run_jit(self.born_params, self.classifier_vars,
+                      jax.random.PRNGKey(self.seed if seed is None else seed))
+        jax.block_until_ready(out["outs"][0])
+        elapsed = time.perf_counter() - t0
+
+        loss_d, loss_q, tvd_h, gq, gd = out["outs"]
+        history = history_to_numpy({
+            "loss_classifier": loss_d,
+            "loss_born_machine": loss_q,
+            "tvd": tvd_h,
+            "grad_norm_born": gq,
+            "grad_norm_classifier": gd,
+        })
+        history["epochs_per_sec"] = num_epochs / elapsed if elapsed > 0 else float("inf")
+        history["train_seconds"] = elapsed
+        self.history_ = history
+        self.born_params = out["born_params"]
+        self.classifier_vars = out["classifier_vars"]
+        self.best_tvd_ = float(out["best_tvd"])
+        self.best_epoch_ = int(out["best_epoch"])
+
+        if track_tvd and np.isfinite(self.best_tvd_):
+            if verbose:
+                print(f"Restoring best parameters (TVD: {self.best_tvd_:.6f})")
+            self.born_params = out["best_born"]
+            self.classifier_vars = out["best_clf"]
+        if verbose:
+            print(f"Adversarial training: {num_epochs} epochs in {elapsed:.3f}s "
+                  f"({history['epochs_per_sec']:.1f} epochs/s)")
+        return history
+
+    def get_prob_dict(self, x_condition=None) -> dict:
+        return self.born_machine.get_prob_dict(
+            self.born_params, self._x_condition if x_condition is None else x_condition
+        )

@@ -1,0 +1,100 @@
+"""Shared training scaffolding: optimizers, cosine schedules, NaN-guarded
+updates, gradient-norm tracking.
+
+Matches the reference trainer conventions (SURVEY.md §2 "shared trainer
+scaffolding"): adam / sgd(momentum 0.9) with configurable betas
+(``ksd_vi.py:84-88``), CosineAnnealingLR decaying to ``lr/10`` over
+``num_epochs`` (``ksd_vi.py:90-93``), global-norm gradient clipping
+(``ksd_vi.py:148``), and skip-update-on-NaN/Inf semantics
+(``ksd_vi.py:142-153`` — a skipped update advances neither the optimizer
+state nor the LR schedule).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def cosine_lr_schedule(lr: float, num_epochs: int, steps_per_epoch: int = 1,
+                       eta_min_ratio: float = 0.1) -> Callable:
+    """torch.optim.lr_scheduler.CosineAnnealingLR semantics:
+    ``lr_t = eta_min + (lr - eta_min)(1 + cos(pi * t / T_max)) / 2`` with
+    ``T_max = num_epochs`` and ``eta_min = lr * eta_min_ratio``.
+
+    The schedule advances once per *epoch* (the reference steps it outside the
+    k-step inner loops), so an optimizer taking ``steps_per_epoch`` updates
+    per epoch maps its update count back to the epoch index.
+    """
+    eta_min = lr * eta_min_ratio
+
+    def schedule(count):
+        epoch = jnp.minimum(count // steps_per_epoch, num_epochs)
+        return eta_min + (lr - eta_min) * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / num_epochs))
+
+    return schedule
+
+
+def make_optimizer(optimizer_type: str, lr: float, num_epochs: int,
+                   use_lr_scheduler: bool = True, adam_betas: Tuple[float, float] = (0.9, 0.999),
+                   gradient_clip_norm: Optional[float] = 10.0,
+                   steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    """Reference optimizer stack: clip-by-global-norm -> {adam | sgd+momentum}
+    with per-epoch cosine annealing to lr/10."""
+    sched = (
+        cosine_lr_schedule(lr, num_epochs, steps_per_epoch)
+        if use_lr_scheduler
+        else lr
+    )
+    if optimizer_type == "adam":
+        opt = optax.adam(learning_rate=sched, b1=adam_betas[0], b2=adam_betas[1])
+    elif optimizer_type == "sgd":
+        opt = optax.sgd(learning_rate=sched, momentum=0.9)
+    else:
+        opt = optax.adam(learning_rate=sched)
+    chain = [opt]
+    if gradient_clip_norm is not None:
+        chain = [optax.clip_by_global_norm(gradient_clip_norm)] + chain
+    return optax.chain(*chain)
+
+
+def global_norm(tree) -> jnp.ndarray:
+    """Global L2 norm of a gradient pytree (what torch's clip_grad_norm_
+    returns and the reference logs into history)."""
+    return optax.global_norm(tree)
+
+
+def guarded_update(opt: optax.GradientTransformation, grads, opt_state, params,
+                   apply: jnp.ndarray):
+    """Apply an optimizer update only where ``apply`` is True (scalar bool).
+
+    When skipped, params, optimizer state (and hence the schedule's step
+    count) are all left untouched — the reference's NaN/Inf skip semantics.
+    """
+    updates, new_opt_state = opt.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    sel = lambda new, old: jax.tree.map(
+        lambda a, b: jnp.where(apply, a, b), new, old
+    )
+    return sel(new_params, params), sel(new_opt_state, opt_state)
+
+
+def tree_select(pred, on_true, on_false):
+    """Elementwise pytree select on a scalar predicate."""
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+def history_to_numpy(history: dict, length: Optional[int] = None) -> dict:
+    """Device metric arrays -> host lists, truncated to ``length`` epochs
+    (used to mimic the reference's early-stop-shortened histories)."""
+    out = {}
+    for k, v in history.items():
+        arr = np.asarray(v)
+        if length is not None:
+            arr = arr[:length]
+        out[k] = arr.tolist()
+    return out

@@ -1,0 +1,361 @@
+"""KSD variational inference engines (classical + quantum Born machines).
+
+Rebuild of ``ksd_vi.py`` / ``ksd_vi_quantum.py`` (reference) as one fully
+jitted ``lax.scan`` program: per epoch the loss is
+``sqrt(clamp(qᵀ K_p q, 1e-12)) - entropy_weight·H(q)`` where ``K_p`` is the
+precompiled Stein Gram operator (``ops.stein``), and TVD-vs-truth tracking,
+best-snapshotting and early stopping all run on device in the scan carry —
+zero host syncs per epoch. This is the ≥100x lever over the reference's
+O(4^n)-Python-ops-per-epoch loop (``ksd_vi.py:114-131``).
+
+Matched semantics (reference file:line):
+- loss = sqrt(clamp(Σ qᵢqⱼ k_p, 1e-12)) (``ksd_vi.py:133-134``)
+- entropy regularizer − w·H(q), classical only (``ksd_vi.py:136-140``)
+- adam/sgd + cosine LR→lr/10 + global-norm clip (``ksd_vi.py:84-93,148``)
+- NaN/Inf loss skips the update *and* the scheduler step (``:142-153``)
+- TVD evaluated after the update, every epoch (``:159-163``)
+- best-TVD snapshot each epoch; early stop after ``patience`` non-improving
+  epochs once epoch > 300, classical only (``:165-184``)
+- classical restore via fixed-probs mode with post-restore verification
+  (``:199-214``); quantum restores best params (``ksd_vi_quantum.py:187-190``
+  — the reference's no-deepcopy/verbose-gated restore bugs are fixed here,
+  noted in docstrings).
+
+Known deviations (documented improvements): the entropy term reuses the same
+probability vector as the KSD term instead of re-running the (dropout-noisy)
+forward; TVD evaluation uses deterministic probabilities; logged grad_norm is
+the true pre-clip global norm every epoch rather than a stale local.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.bayes_net import BayesianNetwork
+from ..core.bits import generate_all_binary_outcomes
+from ..core.metrics import calculate_tvd
+from ..models.born_classical import ClassicalBornMachine
+from ..models.born_quantum import QuantumBornMachine
+from ..ops.stein import SteinOperator, score_table
+from .common import global_norm, guarded_update, history_to_numpy, make_optimizer, tree_select
+
+
+def _posterior_vec_from(true_posterior, num_latent_vars, dtype):
+    """Accept the reference's dict format or a dense vector."""
+    if true_posterior is None:
+        return None
+    if isinstance(true_posterior, dict):
+        outcomes = generate_all_binary_outcomes(num_latent_vars)
+        vec = np.array([true_posterior.get(t, 0.0) for t in outcomes])
+    else:
+        vec = np.asarray(true_posterior)
+    return jnp.asarray(vec, dtype=dtype)
+
+
+def run_ksd_scan(
+    *,
+    probs_fn,                 # (params, rng) -> q  (training forward)
+    eval_probs_fn,            # params -> q         (deterministic eval)
+    params0,
+    op: SteinOperator,
+    num_epochs: int,
+    optimizer,
+    entropy_weight: Optional[float],
+    posterior_vec: Optional[jnp.ndarray],
+    early_stopping: bool,
+    patience: int,
+    min_epochs_before_stop: int = 300,
+    key: Optional[jax.Array] = None,
+):
+    """One jitted training program shared by the classical and quantum KSD
+    engines. Returns (final_params, best dict, history arrays, stop_epoch)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    opt_state = optimizer.init(params0)
+    q0 = eval_probs_fn(params0)
+    dtype = q0.dtype
+    track_tvd = posterior_vec is not None
+
+    def epoch_step(carry, epoch):
+        params, opt_state, k, best_tvd, best_epoch, best_params, best_probs, esi, stopped = carry
+        k, sub = jax.random.split(k)
+
+        def loss_fn(p):
+            q = probs_fn(p, sub)
+            ksd = op.ksd_loss(q)
+            ent = -(q * jnp.log(jnp.clip(q, 1e-10, None))).sum()
+            loss = ksd if entropy_weight is None else ksd - entropy_weight * ent
+            return loss, (ksd, ent)
+
+        (loss, (ksd, ent)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        gnorm = global_norm(grads)
+        do_update = jnp.isfinite(loss) & ~stopped
+        params, opt_state = guarded_update(optimizer, grads, opt_state, params, do_update)
+
+        q_eval = eval_probs_fn(params)
+        if track_tvd:
+            tvd = 0.5 * jnp.abs(q_eval - posterior_vec).sum()
+            improved = (tvd < best_tvd) & ~stopped
+            best_tvd = jnp.where(improved, tvd, best_tvd)
+            best_epoch = jnp.where(improved, epoch, best_epoch)
+            best_params = tree_select(improved, params, best_params)
+            best_probs = jnp.where(improved, q_eval, best_probs)
+            esi = jnp.where(stopped, esi, jnp.where(improved, 0, esi + 1))
+            if early_stopping:
+                stopped = stopped | ((esi > patience) & (epoch > min_epochs_before_stop))
+        else:
+            tvd = jnp.asarray(jnp.nan, dtype=dtype)
+
+        carry = (params, opt_state, k, best_tvd, best_epoch, best_params, best_probs, esi, stopped)
+        return carry, (ksd, tvd, gnorm, ent, stopped)
+
+    init = (
+        params0, opt_state, key,
+        jnp.asarray(jnp.inf, dtype=dtype), jnp.asarray(-1),
+        params0, q0, jnp.asarray(0), jnp.asarray(False),
+    )
+    (params, _, _, best_tvd, best_epoch, best_params, best_probs, _, _), outs = jax.lax.scan(
+        epoch_step, init, jnp.arange(num_epochs)
+    )
+    ksd_hist, tvd_hist, gnorm_hist, ent_hist, stopped_hist = outs
+    return {
+        "params": params,
+        "best_tvd": best_tvd,
+        "best_epoch": best_epoch,
+        "best_params": best_params,
+        "best_probs": best_probs,
+        "loss_ksd": ksd_hist,
+        "tvd": tvd_hist,
+        "grad_norm": gnorm_hist,
+        "entropy": ent_hist,
+        "stopped": stopped_hist,
+    }
+
+
+class KSDVariationalInference:
+    """Classical-Born-machine KSD engine. Parity: ``ksd_vi.py:19-216``."""
+
+    def __init__(self, bayesian_network: BayesianNetwork, latent_vars_names: Sequence[str],
+                 observed_vars_names: Sequence[str], born_machine_config: dict,
+                 base_kernel_length_scale: float = 1.0, dtype=jnp.float32,
+                 dense: Optional[bool] = None, seed: int = 0):
+        self.bn = bayesian_network
+        self.latent_vars_names = list(latent_vars_names)
+        self.observed_vars_names = list(observed_vars_names)
+        self.num_latent_vars = len(latent_vars_names)
+        self.num_observed_vars = len(observed_vars_names)
+        self.base_kernel_length_scale = base_kernel_length_scale
+        self.dtype = dtype
+        self.dense = dense
+        self.seed = seed
+        # Reference forces small_random init regardless of config (ksd_vi.py:30).
+        born_machine_config = {**born_machine_config, "init_method": "small_random"}
+        self.born_machine = ClassicalBornMachine(
+            num_latent_vars=self.num_latent_vars, dtype=dtype, **born_machine_config
+        )
+        self.params = self.born_machine.init(jax.random.PRNGKey(seed))
+        self.all_latent_states_tuples = generate_all_binary_outcomes(self.num_latent_vars)
+        self._x_condition = None
+        self.history_: Optional[dict] = None
+
+    def _x_cond_tensor(self, x_observation_dict):
+        if self.num_observed_vars == 0:
+            return None
+        if set(x_observation_dict) != set(self.observed_vars_names):
+            raise ValueError("Keys in x_observation_dict must match self.observed_vars_names.")
+        x = jnp.asarray(
+            [x_observation_dict[n] for n in self.observed_vars_names], dtype=jnp.float32
+        )
+        if self.born_machine.conditioning_dim > 0:
+            if self.born_machine.conditioning_dim != self.num_observed_vars:
+                raise ValueError("Born machine conditioning_dim must match num_observed_vars.")
+            return x
+        return None
+
+    def build_operator(self, x_observation_dict) -> SteinOperator:
+        """Score table + Stein Gram, computed once per observation
+        (the reference recomputes every epoch — SURVEY.md §3.1)."""
+        t = self.bn.conditional_joint_table(self.latent_vars_names, x_observation_dict)
+        S = score_table(t)
+        return SteinOperator(S, self.num_latent_vars, self.base_kernel_length_scale,
+                            dtype=self.dtype, dense=self.dense)
+
+    def train(self, x_observation_dict: Dict[str, int], num_epochs: int,
+              lr_born_machine: float, verbose: bool = True,
+              true_posterior_for_tvd=None, use_lr_scheduler: bool = True,
+              gradient_clip_norm: float = 10.0, optimizer_type: str = "adam",
+              adam_betas=(0.9, 0.999), entropy_weight: float = 0.01,
+              patience: int = 200, seed: Optional[int] = None) -> dict:
+        x_cond = self._x_cond_tensor(x_observation_dict)
+        self._x_condition = x_cond
+        op = self.build_operator(x_observation_dict)
+        posterior_vec = _posterior_vec_from(true_posterior_for_tvd, self.num_latent_vars, self.dtype)
+        optimizer = make_optimizer(optimizer_type, lr_born_machine, num_epochs,
+                                   use_lr_scheduler, adam_betas, gradient_clip_norm)
+        bm = self.born_machine
+
+        def probs_fn(p, rng):
+            return bm.probs(p, x_cond, train=True, dropout_rng=rng)
+
+        def eval_probs_fn(p):
+            return bm.probs(p, x_cond)
+
+        run = jax.jit(
+            lambda p0, k: run_ksd_scan(
+                probs_fn=probs_fn, eval_probs_fn=eval_probs_fn, params0=p0, op=op,
+                num_epochs=num_epochs, optimizer=optimizer,
+                entropy_weight=entropy_weight, posterior_vec=posterior_vec,
+                early_stopping=posterior_vec is not None, patience=patience, key=k,
+            )
+        )
+        t0 = time.perf_counter()
+        out = run(self.params, jax.random.PRNGKey(self.seed if seed is None else seed))
+        jax.block_until_ready(out["loss_ksd"])
+        elapsed = time.perf_counter() - t0
+
+        stopped = np.asarray(out["stopped"])
+        stop_epoch = int(stopped.argmax()) + 1 if stopped.any() else num_epochs
+        self.params = out["params"]
+        self.best_params_ = out["best_params"]
+        self.best_tvd_ = float(out["best_tvd"])
+        self.best_epoch_ = int(out["best_epoch"])
+
+        history = history_to_numpy(
+            {k: out[k] for k in ("loss_ksd", "tvd", "grad_norm", "entropy")},
+            length=stop_epoch,
+        )
+        history["epochs_per_sec"] = stop_epoch / elapsed if elapsed > 0 else float("inf")
+        history["train_seconds"] = elapsed
+        self.history_ = history
+
+        if posterior_vec is not None and np.isfinite(self.best_tvd_):
+            if verbose:
+                print(f"Restoring best probabilities (TVD: {self.best_tvd_:.6f} "
+                      f"from epoch {self.best_epoch_ + 1})")
+            # Fixed-probs restore + verification (ksd_vi.py:199-214).
+            bm.set_fixed_probs(out["best_probs"])
+            final_q = bm.get_prob_dict(self.params, x_cond)
+            final_tvd = calculate_tvd(
+                true_posterior_for_tvd
+                if isinstance(true_posterior_for_tvd, dict)
+                else {t: float(posterior_vec[i]) for i, t in enumerate(self.all_latent_states_tuples)},
+                final_q,
+            )
+            if abs(final_tvd - self.best_tvd_) > 1e-6:
+                print(f"WARNING: restoration drift — expected TVD {self.best_tvd_:.6f}, "
+                      f"got {final_tvd:.6f}")
+            elif verbose:
+                print(f"Successfully restored best probabilities! Final TVD: {final_tvd:.6f}")
+        if verbose:
+            print(f"KSD training: {stop_epoch} epochs in {elapsed:.3f}s "
+                  f"({history['epochs_per_sec']:.1f} epochs/s)")
+        return history
+
+    def get_prob_dict(self, x_condition=None) -> dict:
+        return self.born_machine.get_prob_dict(
+            self.params, self._x_condition if x_condition is None else x_condition
+        )
+
+
+class QuantumKSDVariationalInference:
+    """Quantum-Born-machine KSD engine. Parity: ``ksd_vi_quantum.py:18-192``.
+
+    Constructor keywords mirror the reference's ``qbm_*`` names; the
+    PennyLane device name is accepted and ignored (the in-framework
+    statevector simulator is always used).
+    """
+
+    def __init__(self, bayesian_network: BayesianNetwork, latent_vars_names: Sequence[str],
+                 observed_vars_names: Sequence[str], qbm_num_latent_vars: int,
+                 qbm_ansatz_layers: int = 1, qbm_conditioning_dim: int = 0,
+                 qbm_pennylane_device_name: str = "default.qubit",
+                 qbm_ansatz_type: str = "hardware_efficient",
+                 qbm_init_method: str = "small_random",
+                 base_kernel_length_scale: float = 1.0, dtype=jnp.float32,
+                 dense: Optional[bool] = None, seed: int = 0):
+        del qbm_pennylane_device_name  # simulator is in-framework
+        self.bn = bayesian_network
+        self.latent_vars_names = list(latent_vars_names)
+        self.observed_vars_names = list(observed_vars_names)
+        self.num_latent_vars = qbm_num_latent_vars
+        self.num_observed_vars = len(observed_vars_names)
+        self.base_kernel_length_scale = base_kernel_length_scale
+        self.dtype = dtype
+        self.dense = dense
+        self.seed = seed
+        self.born_machine = QuantumBornMachine(
+            num_latent_vars=qbm_num_latent_vars, ansatz_layers=qbm_ansatz_layers,
+            conditioning_dim=qbm_conditioning_dim, ansatz_type=qbm_ansatz_type,
+            init_method=qbm_init_method,
+        )
+        self.params = self.born_machine.init(jax.random.PRNGKey(seed))
+        self.all_latent_states_tuples = generate_all_binary_outcomes(self.num_latent_vars)
+        self.history_: Optional[dict] = None
+
+    def build_operator(self, x_observation_dict) -> SteinOperator:
+        t = self.bn.conditional_joint_table(self.latent_vars_names, x_observation_dict)
+        S = score_table(t)
+        return SteinOperator(S, self.num_latent_vars, self.base_kernel_length_scale,
+                            dtype=self.dtype, dense=self.dense)
+
+    def train(self, x_observation_dict: Dict[str, int], num_epochs: int,
+              lr_born_machine: float, verbose: bool = True,
+              true_posterior_for_tvd=None, use_lr_scheduler: bool = True,
+              gradient_clip_norm: float = 10.0, optimizer_type: str = "adam",
+              adam_betas=(0.9, 0.999), seed: Optional[int] = None) -> dict:
+        if self.num_observed_vars > 0 and set(x_observation_dict) != set(self.observed_vars_names):
+            raise ValueError("Keys in x_observation_dict must match self.observed_vars_names.")
+        op = self.build_operator(x_observation_dict)
+        posterior_vec = _posterior_vec_from(true_posterior_for_tvd, self.num_latent_vars, self.dtype)
+        optimizer = make_optimizer(optimizer_type, lr_born_machine, num_epochs,
+                                   use_lr_scheduler, adam_betas, gradient_clip_norm)
+        bm = self.born_machine
+
+        def probs_fn(p, rng):
+            del rng
+            return bm.probs(p).astype(self.dtype)
+
+        def eval_probs_fn(p):
+            return bm.probs(p).astype(self.dtype)
+
+        run = jax.jit(
+            lambda p0, k: run_ksd_scan(
+                probs_fn=probs_fn, eval_probs_fn=eval_probs_fn, params0=p0, op=op,
+                num_epochs=num_epochs, optimizer=optimizer, entropy_weight=None,
+                posterior_vec=posterior_vec, early_stopping=False, patience=0, key=k,
+            )
+        )
+        t0 = time.perf_counter()
+        out = run(self.params, jax.random.PRNGKey(self.seed if seed is None else seed))
+        jax.block_until_ready(out["loss_ksd"])
+        elapsed = time.perf_counter() - t0
+
+        self.params = out["params"]
+        self.best_params_ = out["best_params"]
+        self.best_tvd_ = float(out["best_tvd"])
+        self.best_epoch_ = int(out["best_epoch"])
+        history = history_to_numpy(
+            {k: out[k] for k in ("loss_ksd", "tvd", "grad_norm")}
+        )
+        history["epochs_per_sec"] = num_epochs / elapsed if elapsed > 0 else float("inf")
+        history["train_seconds"] = elapsed
+        self.history_ = history
+
+        if posterior_vec is not None and np.isfinite(self.best_tvd_):
+            # Reference restores best params only under verbose and without a
+            # deep copy (ksd_vi_quantum.py:173-175, 187-190); here the best
+            # snapshot is a real on-device copy and is always restored.
+            if verbose:
+                print(f"Restoring best parameters (TVD: {self.best_tvd_:.6f})")
+            self.params = self.best_params_
+        if verbose:
+            print(f"Quantum KSD training: {num_epochs} epochs in {elapsed:.3f}s "
+                  f"({history['epochs_per_sec']:.1f} epochs/s)")
+        return history
+
+    def get_prob_dict(self, x_condition=None) -> dict:
+        return self.born_machine.get_prob_dict(self.params, x_condition)

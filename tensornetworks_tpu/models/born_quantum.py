@@ -1,0 +1,86 @@
+"""Quantum Born machine backed by the in-framework statevector simulator.
+
+Replaces the reference's PennyLane QNode wrapper (``quantum_born_machine.py``)
+with a pure-JAX model: ``probs(params)`` traces the whole circuit into the
+surrounding XLA program and gradients flow through ``jax.grad`` — no
+parameter-shift re-execution (2·3·L·n circuit sims per step in the reference,
+``quantum_born_machine.py:58``).
+
+Ansatz families, parameter counts and init methods match the reference
+(``:30-47``): ``hardware_efficient``/``all_to_all`` use ``3·L·n`` params,
+``basic`` ``2·L·n``; init ``zero | small_random (0.1·N(0,1)) |
+random (U[0, 2π))``. Conditioning is declared but not implemented, exactly as
+in the reference (``:132-137`` only warns) — kept for API parity.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.bits import generate_all_binary_outcomes, jnp_bits_to_index
+from ..sim.ansatz import ansatz_probs, ansatz_state_fn, num_ansatz_params
+from ..sim.sampling import sample_bits
+
+LOG_PROB_EPS = 1e-9  # reference clamp, quantum_born_machine.py:188
+
+
+class QuantumBornMachine:
+    def __init__(self, num_latent_vars: int, ansatz_layers: int = 1,
+                 conditioning_dim: int = 0, ansatz_type: str = "hardware_efficient",
+                 init_method: str = "small_random", dtype=jnp.complex64):
+        self.num_latent_vars = num_latent_vars
+        self.ansatz_layers = ansatz_layers
+        self.conditioning_dim = conditioning_dim
+        self.ansatz_type = ansatz_type
+        self.init_method = init_method
+        self.dtype = dtype
+        self.num_params = num_ansatz_params(num_latent_vars, ansatz_layers, ansatz_type)
+        self.all_outcome_tuples = generate_all_binary_outcomes(num_latent_vars)
+        ansatz_state_fn(ansatz_type)  # validate early
+
+    def init(self, key: jax.Array) -> jnp.ndarray:
+        """θ init. Parity: ``quantum_born_machine.py:40-47``."""
+        m = self.init_method
+        if m == "zero":
+            return jnp.zeros(self.num_params, dtype=jnp.float32)
+        if m == "small_random":
+            return 0.1 * jax.random.normal(key, (self.num_params,), dtype=jnp.float32)
+        return jax.random.uniform(key, (self.num_params,), dtype=jnp.float32,
+                                  maxval=2.0 * np.pi)
+
+    def probs(self, params: jnp.ndarray, x_condition=None) -> jnp.ndarray:
+        """Analytic q_θ(z) over all 2^n outcomes (|ψ(θ)|²)."""
+        if self.conditioning_dim > 0 and x_condition is not None:
+            warnings.warn(
+                "Conditioning with x_condition not fully implemented in PQC ansatz yet."
+            )
+        return ansatz_probs(params, self.num_latent_vars, self.ansatz_layers,
+                            self.ansatz_type, dtype=self.dtype)
+
+    def state(self, params: jnp.ndarray) -> jnp.ndarray:
+        """Full statevector ψ(θ) as a (2,)*n tensor."""
+        return ansatz_state_fn(self.ansatz_type)(params, self.num_latent_vars,
+                                                 self.ansatz_layers, dtype=self.dtype)
+
+    def log_probs(self, params, x_condition=None) -> jnp.ndarray:
+        return jnp.log(jnp.clip(self.probs(params, x_condition), LOG_PROB_EPS, None))
+
+    def log_q(self, params, z_samples, x_condition=None) -> jnp.ndarray:
+        """log q_θ(z) for sample bit rows via gather
+        (vs ``quantum_born_machine.py:180-201`` Python index loop)."""
+        lp = self.log_probs(params, x_condition)
+        return lp[jnp_bits_to_index(z_samples)]
+
+    def sample(self, key, params, num_samples: int, x_condition=None) -> jnp.ndarray:
+        p = self.probs(params, x_condition)
+        p = p / p.sum()
+        return sample_bits(key, p, num_samples, self.num_latent_vars)
+
+    def get_prob_dict(self, params, x_condition=None) -> dict:
+        p = np.asarray(self.probs(params, x_condition))
+        return {t: float(p[i]) for i, t in enumerate(self.all_outcome_tuples)}

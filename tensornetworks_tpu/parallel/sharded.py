@@ -1,0 +1,79 @@
+"""Sharded training steps: the full KSD / adversarial programs pjit-ed over a
+('dp', 'state') mesh.
+
+Design (SURVEY.md §5.7-5.8): the ``2^n`` state axis is the workload's "long
+sequence" — the probability vector q, the score table S, the bits table B and
+every Kronecker matvec column are sharded over the ``state`` mesh axis with
+``NamedSharding``; the Kronecker contractions on the leading (sharded) bits
+then lower to XLA collective-permutes over ICI, which GSPMD inserts
+automatically from the sharding constraints. Sample batches (REINFORCE /
+discriminator) shard over the ``dp`` axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.born_quantum import QuantumBornMachine
+from ..ops.stein import SteinOperator
+from .mesh import Mesh, data_sharding, replicated, state_sharding
+
+
+def make_sharded_ksd_step(qbm: QuantumBornMachine, op: SteinOperator, mesh: Mesh,
+                          optimizer: optax.GradientTransformation):
+    """One full quantum-KSD train step (forward → loss → grad → update) with
+    the state axis sharded over the mesh. Returns (step_fn, placed operator
+    tables). The step is jit-compiled with explicit output shardings."""
+    s_sh = state_sharding(mesh, ndim=2, axis=0)
+    v_sh = state_sharding(mesh, ndim=1, axis=0)
+    rep = replicated(mesh)
+
+    S = jax.device_put(op.S, s_sh)
+    B = jax.device_put(op.B, s_sh)
+    gram = jax.device_put(op.gram, state_sharding(mesh, ndim=2, axis=0)) if op.dense else None
+
+    from ..ops.stein import stein_matvec
+
+    def loss_fn(params):
+        q = qbm.probs(params).astype(op.S.dtype)
+        q = jax.lax.with_sharding_constraint(q, v_sh)
+        if gram is not None:
+            y = gram @ q
+        else:
+            y = stein_matvec(q, S, B, op.num_vars, op.length_scale, op.group)
+        return jnp.sqrt(jnp.clip(jnp.dot(q, y), 1e-12, None))
+
+    @partial(jax.jit, out_shardings=(rep, None, rep))
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def make_sharded_advi_classifier_step(clf, mesh: Mesh, optimizer, batch_size: int,
+                                      input_dim: int):
+    """Discriminator step with the sample batch sharded over the 'dp' axis."""
+    b_sh = data_sharding(mesh, ndim=2, axis=0)
+    rep = replicated(mesh)
+
+    def loss_fn(params, inputs, labels):
+        logits = clf.apply({"params": params}, inputs, train=False)
+        return jnp.mean(
+            jnp.clip(logits, 0, None) - logits * labels
+            + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        )
+
+    @partial(jax.jit, in_shardings=(rep, None, b_sh, b_sh), out_shardings=(rep, None, rep))
+    def step(params, opt_state, inputs, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, inputs, labels)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step

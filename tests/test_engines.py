@@ -1,0 +1,123 @@
+"""End-to-end engine tests: the reference's oracle-based evaluation pattern
+(SURVEY.md §4.2) — train against the exact enumerated Sprinkler posterior and
+assert convergence of TVD / loss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tensornetworks_tpu.core import get_sprinkler_network
+from tensornetworks_tpu.engines import (
+    AdversarialVariationalInference,
+    KSDVariationalInference,
+    QuantumKSDVariationalInference,
+)
+from tensornetworks_tpu.engines.common import cosine_lr_schedule
+
+
+@pytest.fixture(scope="module")
+def sprinkler():
+    bn = get_sprinkler_network()
+    post, p_obs = bn.get_true_posterior(["C", "S", "R"], {"W": 1})
+    return bn, post
+
+
+def test_cosine_schedule_matches_torch_semantics():
+    sched = cosine_lr_schedule(0.01, 100)
+    assert abs(float(sched(0)) - 0.01) < 1e-9
+    # Midpoint: eta_min + (lr-eta_min)/2
+    assert abs(float(sched(50)) - (0.001 + 0.009 / 2)) < 1e-9
+    assert abs(float(sched(100)) - 0.001) < 1e-9
+    # steps_per_epoch mapping
+    sched5 = cosine_lr_schedule(0.01, 100, steps_per_epoch=5)
+    assert abs(float(sched5(250)) - float(sched(50))) < 1e-12
+
+
+def test_classical_ksd_converges(sprinkler):
+    bn, post = sprinkler
+    m = KSDVariationalInference(
+        bn, ["C", "S", "R"], ["W"],
+        born_machine_config={"use_logits": True, "conditioning_dim": 0},
+    )
+    h = m.train({"W": 1}, num_epochs=1200, lr_born_machine=5e-3, verbose=False,
+                true_posterior_for_tvd=post, gradient_clip_norm=5.0,
+                entropy_weight=1e-3, patience=200)
+    assert h["loss_ksd"][-1] < h["loss_ksd"][0] * 0.2
+    assert m.best_tvd_ < 0.15
+    # Fixed-probs restore: reported dict must match best snapshot.
+    d = m.get_prob_dict()
+    assert abs(sum(d.values()) - 1.0) < 1e-5
+
+
+def test_classical_ksd_conditional_runs(sprinkler):
+    bn, post = sprinkler
+    m = KSDVariationalInference(
+        bn, ["C", "S", "R"], ["W"],
+        born_machine_config={
+            "use_logits": True, "conditioning_dim": 1,
+            "init_method": "uniform", "hidden_dims": None, "use_layer_norm": False,
+        },
+    )
+    h = m.train({"W": 1}, num_epochs=150, lr_born_machine=3e-3, verbose=False,
+                true_posterior_for_tvd=post, entropy_weight=1e-3)
+    assert len(h["loss_ksd"]) == 150
+    assert np.isfinite(h["loss_ksd"]).all()
+    assert h["tvd"][-1] < h["tvd"][0]
+
+
+def test_quantum_ksd_converges(sprinkler):
+    bn, post = sprinkler
+    m = QuantumKSDVariationalInference(
+        bn, ["C", "S", "R"], ["W"], qbm_num_latent_vars=3,
+        qbm_ansatz_layers=2, qbm_ansatz_type="hardware_efficient",
+        qbm_init_method="small_random",
+    )
+    h = m.train({"W": 1}, num_epochs=400, lr_born_machine=5e-3, verbose=False,
+                true_posterior_for_tvd=post, gradient_clip_norm=10.0)
+    assert h["loss_ksd"][-1] < h["loss_ksd"][0] * 0.5
+    assert m.best_tvd_ < 0.35
+    d = m.get_prob_dict()
+    assert abs(sum(d.values()) - 1.0) < 1e-5
+
+
+def test_adversarial_converges(sprinkler):
+    bn, post = sprinkler
+    m = AdversarialVariationalInference(
+        bn, ["C", "S", "R"], ["W"],
+        born_machine_config={"use_logits": True, "conditioning_dim": 1,
+                             "init_method": "uniform"},
+        classifier_config={"hidden_dims": [32, 16], "use_batch_norm": False},
+    )
+    h = m.train({"W": 1}, num_epochs=250, batch_size=100, lr_born_machine=3e-3,
+                lr_classifier=3e-2, k_classifier_steps=5, k_born_steps=1,
+                verbose=False, true_posterior_for_tvd=post,
+                gradient_clip_norm=5.0, baseline_decay=0.95, adam_betas=(0.5, 0.999))
+    assert m.best_tvd_ < 0.08
+    assert np.isfinite(h["loss_classifier"]).all()
+
+
+def test_early_stopping_truncates_history(sprinkler):
+    bn, post = sprinkler
+    m = KSDVariationalInference(
+        bn, ["C", "S", "R"], ["W"],
+        born_machine_config={"use_logits": True, "conditioning_dim": 0},
+    )
+    # patience 5 after epoch 300 -> must stop well before 2000.
+    h = m.train({"W": 1}, num_epochs=2000, lr_born_machine=5e-3, verbose=False,
+                true_posterior_for_tvd=post, entropy_weight=1e-3, patience=5)
+    assert len(h["loss_ksd"]) < 2000
+
+
+def test_prior_tabulation_matches_reference_semantics(sprinkler):
+    bn, post = sprinkler
+    m = AdversarialVariationalInference(
+        bn, ["C", "S", "R"], ["W"],
+        born_machine_config={"use_logits": True, "conditioning_dim": 0},
+        classifier_config={"hidden_dims": [16, 8]},
+    )
+    # p(z) marginal over C,S,R: P(C=1,S=0,R=1) = 0.5*0.9*0.8 = 0.36
+    assert abs(m.prior_z_dist_dict[(1, 0, 1)] - 0.36) < 1e-10
+    # log p(x|z) table spot check: z=(1,0,1): p(W=1|S=0,R=1) = 0.9
+    table = m._log_p_x_given_z_table({"W": 1})
+    assert abs(table[0b101] - np.log(0.9 + 1e-9)) < 1e-6

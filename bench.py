@@ -1,0 +1,138 @@
+"""Benchmark: 16-qubit quantum KSD-VI training throughput (epochs/sec).
+
+The BASELINE.json north-star metric: quantum KSD-VI at 16 qubits on one TPU
+chip, ≥100x faster per epoch than the reference (PennyLane/PyTorch) at
+matched final TVD. The reference publishes no numbers (BASELINE.md), so the
+baseline is *measured here*: a faithful cost probe of the reference's
+per-pair Stein-kernel evaluation (scalar torch ops with bit-flip loops,
+``stein_utils.py:138-197``) is timed on this host and multiplied by the
+4^16 pair count of its per-epoch Gram loop (``ksd_vi.py:114-131``). The
+parameter-shift backward cost (2·3·L·n extra statevector sims/epoch) is
+ignored — conservative in the reference's favor.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+N_QUBITS = 16
+LAYERS = 4
+WARMUP_EPOCHS = 3
+TIMED_EPOCHS = 30
+
+
+def measure_reference_pair_seconds(num_vars: int, n_pairs: int = 300) -> float:
+    """Time the reference's per-pair Stein kernel cost pattern with torch.
+
+    This mirrors the *computational shape* of ``get_stein_kernel_kp_value``
+    (reference ``stein_utils.py:138-197``): per pair, ~(5n+1) base-kernel
+    evaluations, each building fresh scalar float64 tensors, plus the
+    bit-flip tuple churn. It is a cost model, not a port.
+    """
+    import torch
+
+    n = num_vars
+
+    def flip(t, i):
+        l = list(t)
+        l[i] = 1 - l[i]
+        return tuple(l)
+
+    def base_kernel(z1, z2):
+        d = torch.sum(torch.abs(z1 - z2))
+        return torch.exp(-d / float(n))
+
+    rng = np.random.default_rng(0)
+    zs = [tuple(int(b) for b in rng.integers(0, 2, n)) for _ in range(64)]
+    sps = [torch.tensor(rng.normal(size=n), dtype=torch.float64) for _ in range(64)]
+
+    t0 = time.perf_counter()
+    for p in range(n_pairs):
+        z1_t, z2_t = zs[p % 64], zs[(p * 7 + 3) % 64]
+        sp1, sp2 = sps[p % 64], sps[(p * 7 + 3) % 64]
+        z1 = torch.tensor(z1_t, dtype=torch.float64)
+        z2 = torch.tensor(z2_t, dtype=torch.float64)
+        k12 = base_kernel(z1, z2)
+        term1 = torch.dot(sp1, sp2) * k12
+        d2 = torch.zeros(n, dtype=torch.float64)
+        for j in range(n):
+            d2[j] = k12 - base_kernel(z1, torch.tensor(flip(z2_t, j), dtype=torch.float64))
+        term2 = -torch.dot(sp1, d2)
+        d1 = torch.zeros(n, dtype=torch.float64)
+        for i in range(n):
+            d1[i] = k12 - base_kernel(torch.tensor(flip(z1_t, i), dtype=torch.float64), z2)
+        term3 = -torch.dot(d1, sp2)
+        tr = torch.tensor(0.0, dtype=torch.float64)
+        for i in range(n):
+            z1n = torch.tensor(flip(z1_t, i), dtype=torch.float64)
+            z2n = torch.tensor(flip(z2_t, i), dtype=torch.float64)
+            tr = tr + (k12 - base_kernel(z1, z2n) - base_kernel(z1n, z2)
+                       + base_kernel(z1n, z2n))
+        _ = term1 + term2 + term3 + tr
+    return (time.perf_counter() - t0) / n_pairs
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tensornetworks_tpu.core import get_random_chain_network
+    from tensornetworks_tpu.engines.common import make_optimizer
+    from tensornetworks_tpu.models import QuantumBornMachine
+    from tensornetworks_tpu.ops import SteinOperator, score_table
+
+    n = N_QUBITS
+    bn = get_random_chain_network(n + 1, seed=0)
+    latent = [f"V{i}" for i in range(n)]
+    t = bn.conditional_joint_table(latent, {f"V{n}": 1})
+    S = score_table(t)
+    op = SteinOperator(S, n, dense=False)
+
+    qbm = QuantumBornMachine(n, ansatz_layers=LAYERS, ansatz_type="hardware_efficient",
+                             init_method="small_random")
+    params = qbm.init(jax.random.PRNGKey(0))
+    opt = make_optimizer("adam", 5e-3, 1000, use_lr_scheduler=True,
+                         gradient_clip_norm=10.0)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        q = qbm.probs(p).astype(jnp.float32)
+        return op.ksd_loss(q)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    for _ in range(WARMUP_EPOCHS):
+        params, opt_state, loss = step(params, opt_state)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_EPOCHS):
+        params, opt_state, loss = step(params, opt_state)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+    epochs_per_sec = TIMED_EPOCHS / elapsed
+
+    pair_sec = measure_reference_pair_seconds(n)
+    ref_epoch_sec = pair_sec * float(4**n)
+    ref_eps = 1.0 / ref_epoch_sec
+
+    print(json.dumps({
+        "metric": f"quantum_ksd_epochs_per_sec_{n}q",
+        "value": round(epochs_per_sec, 3),
+        "unit": "epochs/sec",
+        "vs_baseline": round(epochs_per_sec / ref_eps, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

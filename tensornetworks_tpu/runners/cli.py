@@ -1,0 +1,101 @@
+"""Unified CLI for all experiments (the reference has no flag system —
+SURVEY.md §5.6; hyperparameters here default to the shipped configs).
+
+Usage:
+    python -m tensornetworks_tpu.runners.cli ksd [--epochs N] [--lr F] ...
+    python -m tensornetworks_tpu.runners.cli quantum-ksd [--layers L] ...
+    python -m tensornetworks_tpu.runners.cli adversarial [--batch-size B] ...
+    python -m tensornetworks_tpu.runners.cli scale --qubits 16 [--objective ksd]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tensornetworks_tpu",
+                                description="TPU-native Born-machine VI experiments")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ksd = sub.add_parser("ksd", help="classical KSD VI on Sprinkler")
+    ksd.add_argument("--epochs", type=int, default=2000)
+    ksd.add_argument("--lr", type=float, default=3e-3)
+    ksd.add_argument("--entropy-weight", type=float, default=1e-3)
+    ksd.add_argument("--patience", type=int, default=200)
+    ksd.add_argument("--conditioning-dim", type=int, default=1)
+    ksd.add_argument("--seed", type=int, default=0)
+    ksd.add_argument("--plot", type=str, default=None)
+
+    q = sub.add_parser("quantum-ksd", help="quantum KSD VI on Sprinkler")
+    q.add_argument("--epochs", type=int, default=1000)
+    q.add_argument("--lr", type=float, default=5e-3)
+    q.add_argument("--layers", type=int, default=4)
+    q.add_argument("--ansatz", type=str, default="hardware_efficient",
+                   choices=["hardware_efficient", "all_to_all", "basic"])
+    q.add_argument("--init", type=str, default="small_random",
+                   choices=["zero", "small_random", "random"])
+    q.add_argument("--seed", type=int, default=0)
+    q.add_argument("--plot", type=str, default=None)
+
+    a = sub.add_parser("adversarial", help="adversarial VI on Sprinkler")
+    a.add_argument("--epochs", type=int, default=1500)
+    a.add_argument("--batch-size", type=int, default=100)
+    a.add_argument("--lr-born", type=float, default=3e-3)
+    a.add_argument("--lr-classifier", type=float, default=3e-2)
+    a.add_argument("--k-classifier", type=int, default=5)
+    a.add_argument("--k-born", type=int, default=1)
+    a.add_argument("--seed", type=int, default=0)
+    a.add_argument("--plot", type=str, default=None)
+
+    s = sub.add_parser("scale", help="large-n scaling runs (BASELINE configs)")
+    s.add_argument("--qubits", type=int, default=8)
+    s.add_argument("--layers", type=int, default=4)
+    s.add_argument("--epochs", type=int, default=200)
+    s.add_argument("--lr", type=float, default=5e-3)
+    s.add_argument("--objective", type=str, default="ksd",
+                   choices=["ksd", "adversarial"])
+    s.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.command == "ksd":
+        from .configs import ClassicalKSDConfig
+        from .sprinkler_ksd import run_sprinkler_ksd_experiment
+
+        cfg = ClassicalKSDConfig(num_epochs=args.epochs, lr=args.lr,
+                                 entropy_weight=args.entropy_weight,
+                                 patience=args.patience,
+                                 conditioning_dim=args.conditioning_dim,
+                                 seed=args.seed)
+        return run_sprinkler_ksd_experiment(cfg, plot_path=args.plot)
+    if args.command == "quantum-ksd":
+        from .configs import QuantumKSDConfig
+        from .sprinkler_quantum_ksd import run_sprinkler_quantum_ksd_experiment
+
+        cfg = QuantumKSDConfig(num_epochs=args.epochs, lr=args.lr,
+                               ansatz_layers=args.layers, ansatz_type=args.ansatz,
+                               init_method=args.init, seed=args.seed)
+        return run_sprinkler_quantum_ksd_experiment(cfg, plot_path=args.plot)
+    if args.command == "adversarial":
+        from .configs import AdversarialConfig
+        from .sprinkler_adversarial import run_sprinkler_experiment
+
+        cfg = AdversarialConfig(num_epochs=args.epochs, batch_size=args.batch_size,
+                                lr_born=args.lr_born, lr_classifier=args.lr_classifier,
+                                k_classifier_steps=args.k_classifier,
+                                k_born_steps=args.k_born, seed=args.seed)
+        return run_sprinkler_experiment(cfg, plot_path=args.plot)
+    if args.command == "scale":
+        from .scale import run_scale_experiment
+
+        return run_scale_experiment(num_qubits=args.qubits, layers=args.layers,
+                                    num_epochs=args.epochs, lr=args.lr,
+                                    objective=args.objective, seed=args.seed)
+    raise SystemExit(f"unknown command {args.command}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Large-n scaling experiments (BASELINE.json configs 4-5): the 8-variable
+custom Bayesian network with an 8-qubit entangling-ansatz Born machine under
+both objectives, and the 16/20-qubit large-state-space KSD throughput runs.
+
+These are the regimes the reference cannot reach (its per-epoch cost is
+4^n Python-scalar Stein evaluations, ``ksd_vi.py:114-131``): at n=16 that is
+4.3e9 pairs per epoch; here an epoch is O(n²·2^n) MXU work via the
+Kronecker-factorized Stein matvec.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..core import calculate_tvd, get_random_chain_network
+from ..engines import AdversarialVariationalInference, QuantumKSDVariationalInference
+from .reporting import print_stability_stats
+
+
+def make_scale_problem(num_qubits: int, seed: int = 0):
+    """num_qubits latent vars + 1 observed var, random CPT DAG."""
+    bn = get_random_chain_network(num_qubits + 1, seed=seed)
+    latent = [f"V{i}" for i in range(num_qubits)]
+    observed = {f"V{num_qubits}": 1}
+    return bn, latent, observed
+
+
+def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int = 200,
+                         lr: float = 5e-3, objective: str = "ksd", seed: int = 0,
+                         verbose: bool = True, track_tvd: Optional[bool] = None):
+    bn, latent, observed = make_scale_problem(num_qubits, seed)
+    # Exact posterior tracking is cheap up to ~20 vars (dense 2^n vector).
+    if track_tvd is None:
+        track_tvd = num_qubits <= 20
+    posterior = bn.posterior_vector(latent, observed) if track_tvd else None
+
+    if objective == "ksd":
+        model = QuantumKSDVariationalInference(
+            bn, latent, list(observed.keys()), qbm_num_latent_vars=num_qubits,
+            qbm_ansatz_layers=layers, qbm_ansatz_type="hardware_efficient",
+            qbm_init_method="small_random", seed=seed,
+        )
+        history = model.train(observed, num_epochs=num_epochs, lr_born_machine=lr,
+                              verbose=verbose, true_posterior_for_tvd=posterior,
+                              gradient_clip_norm=10.0)
+    elif objective == "adversarial":
+        model = AdversarialVariationalInference(
+            bn, latent, list(observed.keys()),
+            born_machine_config={"use_logits": True, "conditioning_dim": 0},
+            classifier_config={"hidden_dims": [max(2 * num_qubits, 32),
+                                               max(num_qubits, 16)]},
+            seed=seed,
+        )
+        history = model.train(observed, num_epochs=num_epochs, batch_size=256,
+                              lr_born_machine=lr, lr_classifier=10 * lr,
+                              k_classifier_steps=3, k_born_steps=1, verbose=verbose,
+                              true_posterior_for_tvd=posterior,
+                              gradient_clip_norm=5.0, baseline_decay=0.95,
+                              adam_betas=(0.5, 0.999))
+    else:
+        raise ValueError(f"unknown objective {objective!r}")
+
+    if verbose:
+        tvds = np.asarray(history["tvd"], dtype=float)
+        finite = tvds[np.isfinite(tvds)]
+        if finite.size:
+            print(f"{num_qubits}-qubit {objective}: final TVD {finite[-1]:.6f}, "
+                  f"best {finite.min():.6f}")
+        print_stability_stats(history)
+    return {"history": history, "model": model, "num_qubits": num_qubits,
+            "objective": objective}
+
+
+def run_sampling_throughput(num_qubits: int = 20, layers: int = 2,
+                            num_samples: int = 1 << 16, verbose: bool = True):
+    """20-qubit batched statevector Born machine sampling stress
+    (BASELINE.json config 5): forward + categorical sampling throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import QuantumBornMachine
+
+    qbm = QuantumBornMachine(num_qubits, ansatz_layers=layers,
+                             ansatz_type="hardware_efficient")
+    params = qbm.init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def draw(key, p):
+        return qbm.sample(key, p, num_samples)
+
+    key = jax.random.PRNGKey(1)
+    s = draw(key, params)
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    reps = 5
+    for i in range(reps):
+        s = draw(jax.random.fold_in(key, i), params)
+    jax.block_until_ready(s)
+    dt = (time.perf_counter() - t0) / reps
+    rate = num_samples / dt
+    if verbose:
+        print(f"{num_qubits}-qubit sampling: {rate:,.0f} samples/s "
+              f"({num_samples} samples in {dt * 1e3:.1f} ms incl. statevector forward)")
+    return {"samples_per_sec": rate, "num_qubits": num_qubits}

@@ -1,0 +1,62 @@
+"""Runner + CLI smoke tests with tiny epoch counts."""
+
+import numpy as np
+
+from tensornetworks_tpu.runners import (
+    AdversarialConfig,
+    ClassicalKSDConfig,
+    QuantumKSDConfig,
+    run_sprinkler_experiment,
+    run_sprinkler_ksd_experiment,
+    run_sprinkler_quantum_ksd_experiment,
+)
+from tensornetworks_tpu.runners.cli import build_parser, main
+from tensornetworks_tpu.runners.scale import make_scale_problem, run_scale_experiment
+
+
+def test_ksd_runner_smoke(tmp_path):
+    cfg = ClassicalKSDConfig(num_epochs=30)
+    out = run_sprinkler_ksd_experiment(cfg, verbose=False,
+                                       plot_path=str(tmp_path / "ksd.png"))
+    assert out is not None
+    assert np.isfinite(out["final_tvd"])
+    assert (tmp_path / "ksd.png").exists()
+    assert len(out["history"]["loss_ksd"]) == 30
+
+
+def test_quantum_runner_smoke():
+    cfg = QuantumKSDConfig(num_epochs=25, ansatz_layers=2)
+    out = run_sprinkler_quantum_ksd_experiment(cfg, verbose=False)
+    assert np.isfinite(out["final_tvd"])
+
+
+def test_adversarial_runner_smoke():
+    cfg = AdversarialConfig(num_epochs=20)
+    out = run_sprinkler_experiment(cfg, verbose=False)
+    assert np.isfinite(out["final_tvd"])
+
+
+def test_cli_parser():
+    p = build_parser()
+    args = p.parse_args(["quantum-ksd", "--epochs", "5", "--layers", "2"])
+    assert args.command == "quantum-ksd" and args.epochs == 5
+
+    args = p.parse_args(["scale", "--qubits", "10", "--objective", "adversarial"])
+    assert args.qubits == 10
+
+
+def test_cli_main_runs():
+    out = main(["quantum-ksd", "--epochs", "5", "--layers", "1"])
+    assert out is not None
+
+
+def test_scale_problem_factory():
+    bn, latent, observed = make_scale_problem(6, seed=1)
+    assert len(latent) == 6 and bn.num_nodes == 7
+    assert abs(bn.joint_table().sum() - 1.0) < 1e-9
+
+
+def test_scale_experiment_smoke():
+    out = run_scale_experiment(num_qubits=5, layers=2, num_epochs=15,
+                               objective="ksd", verbose=False)
+    assert np.isfinite(out["history"]["loss_ksd"]).all()

@@ -44,8 +44,15 @@ from .ksd import _posterior_vec_from
 
 class AdversarialVariationalInference:
     def __init__(self, bayesian_network: BayesianNetwork, latent_vars_names: Sequence[str],
-                 observed_vars_names: Sequence[str], born_machine_config: dict,
-                 classifier_config: dict, dtype=jnp.float32, seed: int = 0):
+                 observed_vars_names: Sequence[str], born_machine_config: Optional[dict] = None,
+                 classifier_config: Optional[dict] = None, dtype=jnp.float32, seed: int = 0,
+                 born_machine=None):
+        """``born_machine_config`` builds the reference's classical Born
+        machine; alternatively pass a ready model (e.g. a
+        ``QuantumBornMachine``) via ``born_machine`` — anything exposing
+        ``init/probs/get_prob_dict`` works, enabling the BASELINE.json
+        "quantum Born machine + adversarial objective" configuration the
+        reference itself never supported."""
         self.bn = bayesian_network
         self.latent_vars_names = list(latent_vars_names)
         self.observed_vars_names = list(observed_vars_names)
@@ -54,11 +61,16 @@ class AdversarialVariationalInference:
         self.dtype = dtype
         self.seed = seed
 
-        # Reference forces small_random init (adversarial_vi.py:27).
-        born_machine_config = {**born_machine_config, "init_method": "small_random"}
-        self.born_machine = ClassicalBornMachine(
-            num_latent_vars=self.num_latent_vars, dtype=dtype, **born_machine_config
-        )
+        born_machine_config = dict(born_machine_config or {})
+        if born_machine is not None:
+            self.born_machine = born_machine
+        else:
+            # Reference forces small_random init (adversarial_vi.py:27).
+            born_machine_config = {**born_machine_config, "init_method": "small_random"}
+            self.born_machine = ClassicalBornMachine(
+                num_latent_vars=self.num_latent_vars, dtype=dtype, **born_machine_config
+            )
+        classifier_config = dict(classifier_config or {})
         classifier_input_dim = self.num_latent_vars
         if born_machine_config.get("conditioning_dim", 0) > 0:
             classifier_input_dim += born_machine_config["conditioning_dim"]
@@ -143,6 +155,13 @@ class AdversarialVariationalInference:
         prior_logits = jnp.log(jnp.clip(self.prior_z_probs, 1e-30, None))
         has_batch_stats = "batch_stats" in self.classifier_vars
 
+        is_classical = isinstance(bm, ClassicalBornMachine)
+
+        def bm_probs(bp, rng=None, train=False):
+            if is_classical:
+                return bm.probs(bp, x_cond, train=train, dropout_rng=rng)
+            return bm.probs(bp).astype(dtype)
+
         def clf_input(z):
             if include_x:
                 xb = jnp.broadcast_to(x_obs, (z.shape[0], x_obs.shape[0]))
@@ -150,7 +169,7 @@ class AdversarialVariationalInference:
             return z
 
         def sample_q(bp, key, rng):
-            p = bm.probs(bp, x_cond, train=True, dropout_rng=rng)
+            p = bm_probs(bp, rng, train=True)
             pp = p + 1e-10
             logits = jnp.log(pp / pp.sum())
             idx = jax.random.categorical(key, logits, shape=(batch_size,))
@@ -219,7 +238,7 @@ class AdversarialVariationalInference:
                         baseline_decay * baseline + (1 - baseline_decay) * batch_mean,
                     )
                     reinforce = raw_reward - new_baseline
-                    p = bm.probs(bp_, x_cond, train=True, dropout_rng=kd)
+                    p = bm_probs(bp_, kd, train=True)
                     log_q = jnp.log(jnp.clip(p, 1e-10, None))[idx]
                     entropy_bonus = -0.01 * log_q  # hard-coded, adversarial_vi.py:219
                     loss = (log_q * jax.lax.stop_gradient(reinforce) - entropy_bonus).mean()
@@ -231,7 +250,7 @@ class AdversarialVariationalInference:
 
             # --- TVD eval + best snapshot (adversarial_vi.py:243-254) ---
             if track_tvd:
-                q_eval = bm.probs(bp, x_cond)
+                q_eval = bm_probs(bp)
                 tvd = 0.5 * jnp.abs(q_eval - posterior_vec).sum()
                 improved = tvd < best_tvd
                 best_tvd = jnp.where(improved, tvd, best_tvd)
@@ -242,6 +261,24 @@ class AdversarialVariationalInference:
             else:
                 tvd = jnp.asarray(jnp.nan, dtype)
 
+            if verbose:
+                # Periodic console logging (adversarial_vi.py:256-262).
+                log_every = max(1, num_epochs // 20)
+
+                def _log(e, ld, lq, t_):
+                    msg = (f"Epoch {int(e) + 1}/{num_epochs} | Loss D: {float(ld):.4f} "
+                           f"| Loss G: {float(lq):.4f}")
+                    if np.isfinite(float(t_)):
+                        msg += f" | TVD: {float(t_):.4f}"
+                    print(msg)
+
+                jax.lax.cond(
+                    ((epoch % log_every) == 0) | (epoch == num_epochs - 1),
+                    lambda args: jax.debug.callback(_log, *args),
+                    lambda args: None,
+                    (epoch, loss_d, loss_q, tvd),
+                )
+
             carry = (bp, bo, cv, co, key, baseline,
                      best_tvd, best_epoch, best_bp, best_cv, best_probs)
             return carry, (loss_d, loss_q, tvd, gnorm_q, gnorm_d)
@@ -249,7 +286,7 @@ class AdversarialVariationalInference:
         def run(bp0, cv0, key):
             bo0 = opt_born.init(bp0)
             co0 = opt_clf.init(cv0["params"])
-            q0 = bm.probs(bp0, x_cond)
+            q0 = bm_probs(bp0)
             init = (bp0, bo0, cv0, co0, key, jnp.asarray(0.0, dtype),
                     jnp.asarray(jnp.inf, dtype), jnp.asarray(-1), bp0, cv0, q0)
             carry, outs = jax.lax.scan(epoch_step, init, jnp.arange(num_epochs))

@@ -71,6 +71,7 @@ def run_ksd_scan(
     patience: int,
     min_epochs_before_stop: int = 300,
     key: Optional[jax.Array] = None,
+    log_every: int = 0,
 ):
     """One jitted training program shared by the classical and quantum KSD
     engines. Returns (final_params, best dict, history arrays, stop_epoch)."""
@@ -109,6 +110,20 @@ def run_ksd_scan(
                 stopped = stopped | ((esi > patience) & (epoch > min_epochs_before_stop))
         else:
             tvd = jnp.asarray(jnp.nan, dtype=dtype)
+
+        if log_every:
+            # Reference-style periodic console logging (ksd_vi.py:188-196),
+            # emitted from device via an async host callback.
+            def _log(e, k_, t_):
+                print(f"Epoch {int(e) + 1}/{num_epochs} | KSD: {float(k_):.6f}"
+                      + (f" | TVD: {float(t_):.6f}" if np.isfinite(float(t_)) else ""))
+
+            jax.lax.cond(
+                ((epoch % log_every) == 0) | (epoch == num_epochs - 1),
+                lambda args: jax.debug.callback(_log, *args),
+                lambda args: None,
+                (epoch, ksd, tvd),
+            )
 
         carry = (params, opt_state, k, best_tvd, best_epoch, best_params, best_probs, esi, stopped)
         return carry, (ksd, tvd, gnorm, ent, stopped)
@@ -210,6 +225,7 @@ class KSDVariationalInference:
                 num_epochs=num_epochs, optimizer=optimizer,
                 entropy_weight=entropy_weight, posterior_vec=posterior_vec,
                 early_stopping=posterior_vec is not None, patience=patience, key=k,
+                log_every=max(1, num_epochs // 20) if verbose else 0,
             )
         )
         t0 = time.perf_counter()
@@ -327,6 +343,7 @@ class QuantumKSDVariationalInference:
                 probs_fn=probs_fn, eval_probs_fn=eval_probs_fn, params0=p0, op=op,
                 num_epochs=num_epochs, optimizer=optimizer, entropy_weight=None,
                 posterior_vec=posterior_vec, early_stopping=False, patience=0, key=k,
+                log_every=max(1, num_epochs // 20) if verbose else 0,
             )
         )
         t0 = time.perf_counter()

@@ -47,9 +47,16 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
                               verbose=verbose, true_posterior_for_tvd=posterior,
                               gradient_clip_norm=10.0)
     elif objective == "adversarial":
+        # BASELINE.json config 4: quantum Born machine under the adversarial
+        # objective (a combination the reference never wired up).
+        from ..models import QuantumBornMachine
+
+        qbm = QuantumBornMachine(num_qubits, ansatz_layers=layers,
+                                 ansatz_type="hardware_efficient",
+                                 init_method="small_random")
         model = AdversarialVariationalInference(
             bn, latent, list(observed.keys()),
-            born_machine_config={"use_logits": True, "conditioning_dim": 0},
+            born_machine=qbm,
             classifier_config={"hidden_dims": [max(2 * num_qubits, 32),
                                                max(num_qubits, 16)]},
             seed=seed,

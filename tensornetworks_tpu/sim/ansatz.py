@@ -13,16 +13,22 @@ Parameter order matches the reference's sequential ``param_idx`` walk so
 parameter vectors are interchangeable between the two implementations. The
 three per-qubit rotations are fused into one 2x2 unitary before application
 (same circuit unitary, one contraction instead of three).
+
+``remat=True`` wraps each layer in ``jax.checkpoint``: backward-pass memory
+drops from O(L·n·2^n) stored intermediates to one layer's worth, trading a
+second forward of each layer — the standard large-n training configuration.
 """
 
 from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 from .gates import rot_zy, rot_zyx
 from .statevector import (
+    DEFAULT_DTYPE,
     apply_cnot,
     apply_cz,
     apply_gate,
@@ -47,14 +53,14 @@ def _rotation_layer_3(state, params, offset, n):
     for i in range(n):
         U = rot_zyx(params[offset + 3 * i], params[offset + 3 * i + 1], params[offset + 3 * i + 2])
         state = apply_gate(state, U, [i])
-    return state, offset + 3 * n
+    return state
 
 
 def _rotation_layer_2(state, params, offset, n):
     for i in range(n):
         U = rot_zy(params[offset + 2 * i], params[offset + 2 * i + 1])
         state = apply_gate(state, U, [i])
-    return state, offset + 2 * n
+    return state
 
 
 def _cnot_chain(state, n):
@@ -65,50 +71,57 @@ def _cnot_chain(state, n):
     return state
 
 
-def hardware_efficient_state(params: jnp.ndarray, num_wires: int, layers: int,
-                             dtype=None) -> jnp.ndarray:
-    from .statevector import DEFAULT_DTYPE
+def _maybe_remat(fn, remat):
+    return jax.checkpoint(fn) if remat else fn
 
+
+def hardware_efficient_state(params: jnp.ndarray, num_wires: int, layers: int,
+                             dtype=None, remat: bool = False) -> jnp.ndarray:
     n = num_wires
     state = hadamard_wall(zero_state(n, dtype=dtype or DEFAULT_DTYPE))
-    off = 0
     for layer in range(layers):
-        state, off = _rotation_layer_3(state, params, off, n)
-        if n > 1:
-            state = _cnot_chain(state, n)
-            if layer % 2 == 0 and n > 2:
-                for i in range(0, n - 2, 2):
-                    state = apply_cz(state, i, i + 2)
+        def layer_fn(s, p, _layer=layer):
+            s = _rotation_layer_3(s, p, 3 * n * _layer, n)
+            if n > 1:
+                s = _cnot_chain(s, n)
+                if _layer % 2 == 0 and n > 2:
+                    for i in range(0, n - 2, 2):
+                        s = apply_cz(s, i, i + 2)
+            return s
+
+        state = _maybe_remat(layer_fn, remat)(state, params)
     return state
 
 
 def all_to_all_state(params: jnp.ndarray, num_wires: int, layers: int,
-                     dtype=None) -> jnp.ndarray:
-    from .statevector import DEFAULT_DTYPE
-
+                     dtype=None, remat: bool = False) -> jnp.ndarray:
     n = num_wires
     state = hadamard_wall(zero_state(n, dtype=dtype or DEFAULT_DTYPE))
-    off = 0
-    for _ in range(layers):
-        state, off = _rotation_layer_3(state, params, off, n)
-        if n > 1:
-            for i in range(n):
-                for j in range(i + 1, n):
-                    state = apply_cz(state, i, j)
+    for layer in range(layers):
+        def layer_fn(s, p, _layer=layer):
+            s = _rotation_layer_3(s, p, 3 * n * _layer, n)
+            if n > 1:
+                for i in range(n):
+                    for j in range(i + 1, n):
+                        s = apply_cz(s, i, j)
+            return s
+
+        state = _maybe_remat(layer_fn, remat)(state, params)
     return state
 
 
 def basic_state(params: jnp.ndarray, num_wires: int, layers: int,
-                dtype=None) -> jnp.ndarray:
-    from .statevector import DEFAULT_DTYPE
-
+                dtype=None, remat: bool = False) -> jnp.ndarray:
     n = num_wires
     state = zero_state(n, dtype=dtype or DEFAULT_DTYPE)
-    off = 0
-    for _ in range(layers):
-        state, off = _rotation_layer_2(state, params, off, n)
-        if n > 1:
-            state = _cnot_chain(state, n)
+    for layer in range(layers):
+        def layer_fn(s, p, _layer=layer):
+            s = _rotation_layer_2(s, p, 2 * n * _layer, n)
+            if n > 1:
+                s = _cnot_chain(s, n)
+            return s
+
+        state = _maybe_remat(layer_fn, remat)(state, params)
     return state
 
 
@@ -126,10 +139,12 @@ def ansatz_state_fn(ansatz_type: str) -> Callable:
 
 
 def ansatz_probs(params: jnp.ndarray, num_wires: int, layers: int, ansatz_type: str,
-                 dtype=None) -> jnp.ndarray:
+                 dtype=None, remat: bool = False) -> jnp.ndarray:
     """Full analytic distribution |⟨z|ψ(θ)⟩|² over all 2^n outcomes.
 
     The reference's ``qml.probs(wires=range(n))`` with ``shots=None``
     (``quantum_born_machine.py:87``).
     """
-    return probabilities(ansatz_state_fn(ansatz_type)(params, num_wires, layers, dtype=dtype))
+    return probabilities(
+        ansatz_state_fn(ansatz_type)(params, num_wires, layers, dtype=dtype, remat=remat)
+    )

@@ -32,7 +32,11 @@ LOG_PROB_EPS = 1e-9  # reference clamp, quantum_born_machine.py:188
 class QuantumBornMachine:
     def __init__(self, num_latent_vars: int, ansatz_layers: int = 1,
                  conditioning_dim: int = 0, ansatz_type: str = "hardware_efficient",
-                 init_method: str = "small_random", dtype=jnp.complex64):
+                 init_method: str = "small_random", dtype=jnp.complex64,
+                 backend: str = "auto", block: int = 8):
+        """``backend``: 'blocked' (TPU-layout-friendly block-matmul executor,
+        the default for n >= 6), 'einsum' (per-gate contraction path), or
+        'auto'. Both produce identical distributions (tests/test_blocked.py)."""
         self.num_latent_vars = num_latent_vars
         self.ansatz_layers = ansatz_layers
         self.conditioning_dim = conditioning_dim
@@ -42,6 +46,21 @@ class QuantumBornMachine:
         self.num_params = num_ansatz_params(num_latent_vars, ansatz_layers, ansatz_type)
         self.all_outcome_tuples = generate_all_binary_outcomes(num_latent_vars)
         ansatz_state_fn(ansatz_type)  # validate early
+        if backend == "auto":
+            backend = "blocked" if num_latent_vars >= 6 else "einsum"
+        self.backend = backend
+        if backend == "blocked":
+            from ..sim.blocked import make_blocked_probs_fn, make_blocked_state_fn
+
+            self._blocked_probs = make_blocked_probs_fn(
+                num_latent_vars, ansatz_layers, ansatz_type, block=block, dtype=dtype
+            )
+            self._blocked_state = make_blocked_state_fn(
+                num_latent_vars, ansatz_layers, ansatz_type, block=block, dtype=dtype
+            )
+        else:
+            self._blocked_probs = None
+            self._blocked_state = None
 
     def init(self, key: jax.Array) -> jnp.ndarray:
         """θ init. Parity: ``quantum_born_machine.py:40-47``."""
@@ -59,11 +78,15 @@ class QuantumBornMachine:
             warnings.warn(
                 "Conditioning with x_condition not fully implemented in PQC ansatz yet."
             )
+        if self._blocked_probs is not None:
+            return self._blocked_probs(params)
         return ansatz_probs(params, self.num_latent_vars, self.ansatz_layers,
                             self.ansatz_type, dtype=self.dtype)
 
     def state(self, params: jnp.ndarray) -> jnp.ndarray:
         """Full statevector ψ(θ) as a (2,)*n tensor."""
+        if self._blocked_state is not None:
+            return self._blocked_state(params).reshape((2,) * self.num_latent_vars)
         return ansatz_state_fn(self.ansatz_type)(params, self.num_latent_vars,
                                                  self.ansatz_layers, dtype=self.dtype)
 

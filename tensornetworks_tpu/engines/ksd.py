@@ -204,7 +204,8 @@ class KSDVariationalInference:
               true_posterior_for_tvd=None, use_lr_scheduler: bool = True,
               gradient_clip_norm: float = 10.0, optimizer_type: str = "adam",
               adam_betas=(0.9, 0.999), entropy_weight: float = 0.01,
-              patience: int = 200, seed: Optional[int] = None) -> dict:
+              patience: int = 200, seed: Optional[int] = None,
+              checkpoint_path: Optional[str] = None) -> dict:
         x_cond = self._x_cond_tensor(x_observation_dict)
         self._x_condition = x_cond
         op = self.build_operator(x_observation_dict)
@@ -266,6 +267,13 @@ class KSDVariationalInference:
                       f"got {final_tvd:.6f}")
             elif verbose:
                 print(f"Successfully restored best probabilities! Final TVD: {final_tvd:.6f}")
+        if checkpoint_path:
+            from ..train import save_checkpoint, training_bundle
+
+            save_checkpoint(checkpoint_path, training_bundle(
+                self.params, best_params=self.best_params_,
+                best_tvd=jnp.asarray(self.best_tvd_),
+                epoch=jnp.asarray(stop_epoch)))
         if verbose:
             print(f"KSD training: {stop_epoch} epochs in {elapsed:.3f}s "
                   f"({history['epochs_per_sec']:.1f} epochs/s)")
@@ -322,7 +330,8 @@ class QuantumKSDVariationalInference:
               lr_born_machine: float, verbose: bool = True,
               true_posterior_for_tvd=None, use_lr_scheduler: bool = True,
               gradient_clip_norm: float = 10.0, optimizer_type: str = "adam",
-              adam_betas=(0.9, 0.999), seed: Optional[int] = None) -> dict:
+              adam_betas=(0.9, 0.999), seed: Optional[int] = None,
+              checkpoint_path: Optional[str] = None) -> dict:
         if self.num_observed_vars > 0 and set(x_observation_dict) != set(self.observed_vars_names):
             raise ValueError("Keys in x_observation_dict must match self.observed_vars_names.")
         op = self.build_operator(x_observation_dict)
@@ -369,6 +378,12 @@ class QuantumKSDVariationalInference:
             if verbose:
                 print(f"Restoring best parameters (TVD: {self.best_tvd_:.6f})")
             self.params = self.best_params_
+        if checkpoint_path:
+            from ..train import save_checkpoint, training_bundle
+
+            save_checkpoint(checkpoint_path, training_bundle(
+                self.params, best_params=self.best_params_,
+                best_tvd=jnp.asarray(self.best_tvd_)))
         if verbose:
             print(f"Quantum KSD training: {num_epochs} epochs in {elapsed:.3f}s "
                   f"({history['epochs_per_sec']:.1f} epochs/s)")

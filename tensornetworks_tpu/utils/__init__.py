@@ -1,3 +1,3 @@
-from .plotting import plot_training_results
+from .plotting import plot_posterior_comparison, plot_training_results
 
-__all__ = ["plot_training_results"]
+__all__ = ["plot_posterior_comparison", "plot_training_results"]

@@ -43,6 +43,12 @@ def apply_adjacent_block(v: jnp.ndarray, M: jnp.ndarray, start: int, g: int, num
     pre = 1 << start
     blk = 1 << g
     post = (1 << (num_vars - start - g)) * c
+    if post == 1:
+        # Final-block fast path: contract on the lane axis — (pre, blk) @ Mᵀ
+        # keeps the minor dimension large instead of a post=1 layout.
+        out = jnp.einsum("aj,ij->ai", v.reshape(pre, blk), M,
+                         preferred_element_type=v.dtype)
+        return out.reshape(v.shape)
     vr = v.reshape(pre, blk, post)
     out = jnp.einsum("ij,ajb->aib", M, vr, preferred_element_type=vr.dtype)
     return out.reshape(v.shape)

@@ -35,11 +35,17 @@ from .gates import rot_zy, rot_zyx
 
 
 def _blocks(n: int, b: int) -> List[Tuple[int, int]]:
-    """Consecutive (start, size) qubit blocks covering [0, n)."""
+    """Consecutive (start, size) qubit blocks covering [0, n), end-aligned:
+    any remainder block goes FIRST so that every non-initial block keeps a
+    large trailing extent (`post`), which keeps its contraction lane-friendly
+    on TPU (the final block uses a dedicated 2D matmul path)."""
+    r = n % b
     out = []
-    s = 0
+    if r:
+        out.append((0, r))
+    s = r
     while s < n:
-        out.append((s, min(b, n - s)))
+        out.append((s, b))
         s += b
     return out
 

@@ -81,7 +81,8 @@ def _cz_pairs(n: int, layer: int, ansatz_type: str) -> List[Tuple[int, int]]:
 
 def _chain_permutation(n: int, ansatz_type: str) -> Optional[np.ndarray]:
     """Inverse index permutation implementing the full CNOT chain of a layer:
-    ``state_out = state_in[perm]``."""
+    ``state_out = state_in[perm]``. (Reference path for tests; the executor
+    uses the gather-free block decomposition below.)"""
     gates = _chain_gates(n, ansatz_type)
     if not gates:
         return None
@@ -94,6 +95,40 @@ def _chain_permutation(n: int, ansatz_type: str) -> Optional[np.ndarray]:
     inv = np.empty(size, dtype=np.int32)
     inv[fwd] = idx.astype(np.int32)
     return inv
+
+
+def _local_perm_matrix(gates: List[Tuple[int, int]], start: int, bsize: int) -> Optional[np.ndarray]:
+    """(2^b, 2^b) permutation matrix for the chain CNOTs lying fully inside
+    the block [start, start+b), applied in order. None if identity."""
+    local = [(c - start, t - start) for c, t in gates
+             if start <= c < start + bsize and start <= t < start + bsize]
+    if not local:
+        return None
+    size = 1 << bsize
+    idx = np.arange(size, dtype=np.int64)
+    fwd = idx.copy()
+    for c, t in local:
+        g = _cnot_map(idx, bsize, c, t)
+        fwd = g[fwd]
+    P = np.zeros((size, size), dtype=np.complex64)
+    P[fwd, idx] = 1.0
+    return P
+
+
+def _cross_cnot_flat(x: jnp.ndarray, n: int, c: int, t: int) -> jnp.ndarray:
+    """CNOT between qubits in different blocks on the flat state: slice the
+    control axis, flip the target axis inside the control=1 half, restack —
+    no gathers (complex gathers are unsupported on some TPU lowerings)."""
+    lo, hi = (c, t) if c < t else (t, c)
+    A, B, C = 1 << lo, 1 << (hi - lo - 1), 1 << (n - hi - 1)
+    v = x.reshape(A, 2, B, 2, C)
+    if c < t:
+        x1 = jnp.flip(v[:, 1], axis=2)
+        v = jnp.stack([v[:, 0], x1], axis=1)
+    else:
+        x1 = jnp.flip(v[:, :, :, 1], axis=1)
+        v = jnp.stack([v[:, :, :, 0], x1], axis=3)
+    return v.reshape(x.shape)
 
 
 def _cz_diag(n: int, pairs: List[Tuple[int, int]]) -> Optional[np.ndarray]:
@@ -125,7 +160,13 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
     blocks = _blocks(n, block)
     per_qubit = 3 if ansatz_type in ("hardware_efficient", "all_to_all") else 2
     has_chain = ansatz_type in ("hardware_efficient", "basic")
-    chain_perm = _chain_permutation(n, ansatz_type) if has_chain else None
+    chain = _chain_gates(n, ansatz_type) if has_chain else []
+    # Gather-free chain decomposition: per-block intra permutation matrices
+    # (block 0's folds into its rotation matmul), cross-block boundary CNOTs
+    # as slice-flips, ring wrap last.
+    perms = [_local_perm_matrix(chain, s, bs) for (s, bs) in blocks] if chain else []
+    boundaries = [(s - 1, s) for (s, _) in blocks[1:]]
+    ring_cross = bool(chain) and n > 2 and len(blocks) > 1
     cz_diags = [
         _cz_diag(n, _cz_pairs(n, layer, ansatz_type)) for layer in range(layers)
     ]
@@ -151,11 +192,21 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
             for (s, bs), hb in zip(blocks, h_blocks):
                 state = apply_adjacent_block(state, jnp.asarray(hb, dtype=dtype), s, bs, n)
         for layer in range(layers):
-            for s, bs in blocks:
+            for i, (s, bs) in enumerate(blocks):
                 M = rot_matrix(params, layer, s, bs)
+                if chain and i == 0 and perms[0] is not None:
+                    M = jnp.asarray(perms[0], dtype=dtype) @ M
                 state = apply_adjacent_block(state, M, s, bs, n)
-            if chain_perm is not None:
-                state = state[chain_perm]
+            for i in range(1, len(blocks)):
+                if chain:
+                    c, t = boundaries[i - 1]
+                    state = _cross_cnot_flat(state, n, c, t)
+                    if perms[i] is not None:
+                        state = apply_adjacent_block(
+                            state, jnp.asarray(perms[i], dtype=dtype),
+                            blocks[i][0], blocks[i][1], n)
+            if ring_cross:
+                state = _cross_cnot_flat(state, n, n - 1, 0)
             d = cz_diags[layer]
             if d is not None:
                 state = state * jnp.asarray(d, dtype=jnp.float32)

@@ -14,7 +14,6 @@ API parity notes reference ``file:line`` of the behavior being matched.
 
 from __future__ import annotations
 
-import warnings
 from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np

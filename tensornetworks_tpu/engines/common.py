@@ -12,7 +12,7 @@ state nor the LR schedule).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 import jax

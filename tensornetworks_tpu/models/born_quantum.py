@@ -16,8 +16,6 @@ in the reference (``:132-137`` only warns) — kept for API parity.
 from __future__ import annotations
 
 import warnings
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ state index (see ``core.bits``), i.e. axis 0 of the ``(2,)*n`` view.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import numpy as np
 import jax.numpy as jnp
 

@@ -21,8 +21,7 @@ for training — both produce identical values (tested).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax

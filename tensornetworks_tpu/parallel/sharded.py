@@ -13,8 +13,6 @@ discriminator) shard over the ``dp`` axis.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -10,8 +10,6 @@ from __future__ import annotations
 from dataclasses import asdict
 from typing import Optional
 
-import numpy as np
-
 from ..core import calculate_tvd, get_sprinkler_network
 from ..engines import KSDVariationalInference
 from .configs import ClassicalKSDConfig

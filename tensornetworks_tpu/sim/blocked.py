@@ -10,10 +10,16 @@ TPU-native steps on the *flat* ``(2^n,)`` state:
    ``(2^b, 2^b)`` matrix applied as a single MXU matmul over a
    ``(pre, 2^b, post)`` reshape (``ops.kron.apply_adjacent_block``).
 2. **CNOT chain** — every CNOT is a classical permutation of basis states;
-   the full chain (nearest-neighbor + ring wrap) composes into ONE static
-   index permutation, precomputed in numpy and applied as a single gather.
+   the chain segment inside each block folds into a static permutation
+   matrix (block 0's merges into its rotation matmul), and the few
+   cross-block CNOTs apply as slice-flip restacks — no gathers (complex
+   gathers are unsupported on some TPU lowerings).
 3. **CZ layer** — all CZ gates are diagonal ±1; a layer's CZs multiply into
    ONE static sign vector, applied as one elementwise product.
+
+Rotation matrices for all layers are built in one batched pass (vectorized
+2x2 rotations + layer-batched Kronecker folds), keeping the traced op count
+O(n) regardless of depth.
 
 An L-layer hardware-efficient circuit becomes ~L·(n/b + 2) large ops instead
 of ~L·2n tiny ones. Produces bit-identical distributions to ``sim.ansatz``
@@ -22,7 +28,6 @@ of ~L·2n tiny ones. Produces bit-identical distributions to ``sim.ansatz``
 
 from __future__ import annotations
 
-from functools import reduce
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -31,7 +36,7 @@ import jax.numpy as jnp
 
 from ..ops.kron import apply_adjacent_block
 from .ansatz import ANSATZ_TYPES
-from .gates import rot_zy, rot_zyx
+from .gates import batched_kron, rot_zy_batched, rot_zyx_batched
 
 
 def _blocks(n: int, b: int) -> List[Tuple[int, int]]:
@@ -176,27 +181,36 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
         else None
     )
 
-    def rot_matrix(params, layer, start, bsize):
-        mats = []
-        for q in range(start, start + bsize):
-            off = per_qubit * (layer * n + q)
-            if per_qubit == 3:
-                mats.append(rot_zyx(params[off], params[off + 1], params[off + 2]))
-            else:
-                mats.append(rot_zy(params[off], params[off + 1]))
-        return reduce(jnp.kron, mats).astype(dtype)
+    def block_matrices(params):
+        """Per-block rotation matrices for ALL layers at once:
+        list of (layers, 2^b, 2^b) arrays. Built from batched per-qubit
+        2x2 rotations and layer-batched Kronecker folds — O(n) traced ops
+        total instead of O(L·n)."""
+        angles = params.reshape(layers, n, per_qubit)
+        if per_qubit == 3:
+            U = rot_zyx_batched(angles[..., 0], angles[..., 1], angles[..., 2])
+        else:
+            U = rot_zy_batched(angles[..., 0], angles[..., 1])
+        U = U.astype(dtype)  # (layers, n, 2, 2)
+        out = []
+        for i, (s, bs) in enumerate(blocks):
+            M = U[:, s]
+            for q in range(s + 1, s + bs):
+                M = batched_kron(M, U[:, q])
+            if chain and i == 0 and perms[0] is not None:
+                M = jnp.einsum("ij,ljk->lik", jnp.asarray(perms[0], dtype=dtype), M)
+            out.append(M)
+        return out
 
     def state_fn(params: jnp.ndarray) -> jnp.ndarray:
         state = jnp.zeros((size,), dtype=dtype).at[0].set(1.0)
         if h_blocks is not None:
             for (s, bs), hb in zip(blocks, h_blocks):
                 state = apply_adjacent_block(state, jnp.asarray(hb, dtype=dtype), s, bs, n)
+        mats = block_matrices(params)
         for layer in range(layers):
             for i, (s, bs) in enumerate(blocks):
-                M = rot_matrix(params, layer, s, bs)
-                if chain and i == 0 and perms[0] is not None:
-                    M = jnp.asarray(perms[0], dtype=dtype) @ M
-                state = apply_adjacent_block(state, M, s, bs, n)
+                state = apply_adjacent_block(state, mats[i][layer], s, bs, n)
             for i in range(1, len(blocks)):
                 if chain:
                     c, t = boundaries[i - 1]

@@ -63,3 +63,45 @@ def rot_zyx(ax, ay, az) -> jnp.ndarray:
 def rot_zy(ay, az) -> jnp.ndarray:
     """Fused RZ(az)·RY(ay) for the 'basic' ansatz (RY then RZ)."""
     return rz(az) @ ry(ay)
+
+
+def _mat2(a00, a01, a10, a11) -> jnp.ndarray:
+    """Assemble (..., 2, 2) from four broadcastable entries."""
+    return jnp.stack(
+        [jnp.stack([a00, a01], axis=-1), jnp.stack([a10, a11], axis=-1)], axis=-2
+    )
+
+
+def rx_batched(theta) -> jnp.ndarray:
+    """RX over an array of angles -> (..., 2, 2)."""
+    c = jnp.cos(theta / 2) + 0j
+    s = -1j * jnp.sin(theta / 2)
+    return _mat2(c, s, s, c)
+
+
+def ry_batched(theta) -> jnp.ndarray:
+    c = jnp.cos(theta / 2) + 0j
+    s = jnp.sin(theta / 2) + 0j
+    return _mat2(c, -s, s, c)
+
+
+def rz_batched(theta) -> jnp.ndarray:
+    e = jnp.exp(-0.5j * theta)
+    zero = jnp.zeros_like(e)
+    return _mat2(e, zero, zero, jnp.conj(e))
+
+
+def rot_zyx_batched(ax, ay, az) -> jnp.ndarray:
+    """Batched fused RZ·RY·RX over angle arrays -> (..., 2, 2)."""
+    return rz_batched(az) @ ry_batched(ay) @ rx_batched(ax)
+
+
+def rot_zy_batched(ay, az) -> jnp.ndarray:
+    return rz_batched(az) @ ry_batched(ay)
+
+
+def batched_kron(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Kronecker product over the trailing two axes, batched over the rest."""
+    da, db = A.shape[-1], B.shape[-1]
+    out = jnp.einsum("...ij,...kl->...ikjl", A, B)
+    return out.reshape(*A.shape[:-2], da * db, da * db)

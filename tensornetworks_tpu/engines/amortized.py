@@ -1,0 +1,168 @@
+"""Amortized and vmapped training sweeps — the data-parallel axis.
+
+The reference's conditional Born machine is amortized in principle
+(``born_machine_classical_sim.py:24-48``) but every runner trains on a single
+observation; and multi-seed stability studies rerun the whole script. Here
+both become one vmapped XLA program (SURVEY.md §2 parallelism table: the DP
+equivalent), sharding over the ``dp`` mesh axis when available:
+
+- ``AmortizedKSD``: train one conditional Born machine against ALL
+  observations x simultaneously — loss = mean_x KSD(q_θ(·|x) ‖ p(·|x)),
+  with a per-observation score table stacked on a leading batch axis and the
+  Stein matvec vmapped over it.
+- ``train_multi_seed``: run K independent replicas of a quantum-KSD
+  training loop in one program (vmap over the parameter axis).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.bayes_net import BayesianNetwork
+from ..core.bits import all_bitstrings
+from ..models.born_classical import ClassicalBornMachine
+from ..models.born_quantum import QuantumBornMachine
+from ..ops.stein import score_table, stein_gram_dense, stein_matvec
+from .common import global_norm, guarded_update, history_to_numpy, make_optimizer
+
+
+class AmortizedKSD:
+    """Conditional-Born-machine KSD trained over a batch of observations."""
+
+    def __init__(self, bayesian_network: BayesianNetwork, latent_vars_names: Sequence[str],
+                 observed_vars_names: Sequence[str], born_machine_config: dict,
+                 base_kernel_length_scale: float = 1.0, dtype=jnp.float32, seed: int = 0):
+        self.bn = bayesian_network
+        self.latent_vars_names = list(latent_vars_names)
+        self.observed_vars_names = list(observed_vars_names)
+        self.num_latent_vars = len(latent_vars_names)
+        self.length_scale = base_kernel_length_scale
+        self.dtype = dtype
+        cfg = {**born_machine_config,
+               "conditioning_dim": len(observed_vars_names),
+               "init_method": "small_random"}
+        self.born_machine = ClassicalBornMachine(
+            num_latent_vars=self.num_latent_vars, dtype=dtype, **cfg
+        )
+        self.params = self.born_machine.init(jax.random.PRNGKey(seed))
+
+    def _stacked_tables(self, observations: List[Dict[str, int]]):
+        scores, posts, xs = [], [], []
+        for obs in observations:
+            t = self.bn.conditional_joint_table(self.latent_vars_names, obs)
+            scores.append(score_table(t))
+            s = t.sum()
+            posts.append(t / s if s > 0 else np.zeros_like(t))
+            xs.append([obs[k] for k in self.observed_vars_names])
+        S = jnp.asarray(np.stack(scores), dtype=self.dtype)       # (X, 2^n, n)
+        P = jnp.asarray(np.stack(posts), dtype=self.dtype)        # (X, 2^n)
+        X = jnp.asarray(np.asarray(xs), dtype=jnp.float32)        # (X, d)
+        return S, P, X
+
+    def train(self, observations: List[Dict[str, int]], num_epochs: int,
+              lr: float = 3e-3, gradient_clip_norm: float = 5.0,
+              entropy_weight: float = 1e-3, verbose: bool = True,
+              seed: int = 0) -> dict:
+        n = self.num_latent_vars
+        S, posts, X = self._stacked_tables(observations)
+        B = jnp.asarray(all_bitstrings(n), dtype=self.dtype)
+        bm = self.born_machine
+        optimizer = make_optimizer("adam", lr, num_epochs,
+                                   gradient_clip_norm=gradient_clip_norm)
+
+        mv = jax.vmap(lambda q, s: stein_matvec(q, s, B, n, self.length_scale),
+                      in_axes=(0, 0))
+
+        def loss_fn(params, rng):
+            q = bm.probs(params, X, train=True, dropout_rng=rng)  # (X, 2^n)
+            q = q.astype(self.dtype)
+            y = mv(q, S)
+            ksd = jnp.sqrt(jnp.clip(jnp.einsum("xi,xi->x", q, y), 1e-12, None))
+            ent = -(q * jnp.log(jnp.clip(q, 1e-10, None))).sum(-1)
+            return (ksd - entropy_weight * ent).mean(), q
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            (loss, q), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, sub)
+            ok = jnp.isfinite(loss)
+            params, opt_state = guarded_update(optimizer, grads, opt_state, params, ok)
+            q_eval = bm.probs(params, X).astype(self.dtype)
+            tvd = 0.5 * jnp.abs(q_eval - posts).sum(-1)
+            return (params, opt_state, key), (loss, tvd.mean(), global_norm(grads))
+
+        run = jax.jit(lambda p, k: jax.lax.scan(
+            epoch, (p, optimizer.init(p), k), None, length=num_epochs))
+        (self.params, _, _), (losses, tvds, gnorms) = run(
+            self.params, jax.random.PRNGKey(seed))
+        jax.block_until_ready(losses)
+        history = history_to_numpy({"loss": losses, "mean_tvd": tvds,
+                                    "grad_norm": gnorms})
+        if verbose:
+            print(f"Amortized KSD over {len(observations)} observations: "
+                  f"mean TVD {history['mean_tvd'][-1]:.6f}")
+        return history
+
+    def posterior_for(self, observation: Dict[str, int]) -> jnp.ndarray:
+        x = jnp.asarray([observation[k] for k in self.observed_vars_names],
+                        dtype=jnp.float32)
+        return self.born_machine.probs(self.params, x)
+
+
+def train_multi_seed(bayesian_network: BayesianNetwork, latent_vars_names, observed_dict,
+                     num_seeds: int = 4, ansatz_layers: int = 2,
+                     ansatz_type: str = "hardware_efficient", num_epochs: int = 200,
+                     lr: float = 5e-3, gradient_clip_norm: float = 10.0,
+                     base_seed: int = 0):
+    """K independent quantum-KSD replicas trained in ONE vmapped program.
+
+    Returns (stacked final params (K, P), per-seed tvd history (epochs, K),
+    per-seed loss history (epochs, K)). The reference's stability studies
+    rerun scripts serially; here replicas vectorize over the model axis (and
+    shard over ``dp`` on a mesh).
+    """
+    n = len(latent_vars_names)
+    bn = bayesian_network
+    t = bn.conditional_joint_table(latent_vars_names, observed_dict)
+    S = jnp.asarray(score_table(t), dtype=jnp.float32)
+    post = jnp.asarray(t / t.sum(), dtype=jnp.float32)
+    B = jnp.asarray(all_bitstrings(n), dtype=jnp.float32)
+    qbm = QuantumBornMachine(n, ansatz_layers=ansatz_layers, ansatz_type=ansatz_type)
+    keys = jax.random.split(jax.random.PRNGKey(base_seed), num_seeds)
+    params0 = jax.vmap(qbm.init)(keys)  # (K, P)
+    optimizer = make_optimizer("adam", lr, num_epochs,
+                               gradient_clip_norm=gradient_clip_norm)
+
+    if n <= 12:
+        gram = stein_gram_dense(S, n, 1.0, dtype=jnp.float32)
+
+        def quad(q):
+            return q @ (gram @ q)
+    else:
+        def quad(q):
+            return q @ stein_matvec(q, S, B, n, 1.0)
+
+    def one_loss(p):
+        q = qbm.probs(p).astype(jnp.float32)
+        return jnp.sqrt(jnp.clip(quad(q), 1e-12, None))
+
+    def epoch(carry, _):
+        params, opt_state = carry
+        losses, grads = jax.vmap(jax.value_and_grad(one_loss))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        q = jax.vmap(lambda p: qbm.probs(p).astype(jnp.float32))(params)
+        tvd = 0.5 * jnp.abs(q - post[None, :]).sum(-1)
+        return (params, opt_state), (losses, tvd)
+
+    run = jax.jit(lambda p: jax.lax.scan(epoch, (p, optimizer.init(p)), None,
+                                         length=num_epochs))
+    (params, _), (losses, tvds) = run(params0)
+    jax.block_until_ready(losses)
+    return params, np.asarray(tvds), np.asarray(losses)

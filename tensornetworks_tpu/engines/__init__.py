@@ -1,11 +1,14 @@
 from .advi import AdversarialVariationalInference
+from .amortized import AmortizedKSD, train_multi_seed
 from .ksd import KSDVariationalInference, QuantumKSDVariationalInference
 from .common import cosine_lr_schedule, make_optimizer
 
 __all__ = [
     "AdversarialVariationalInference",
+    "AmortizedKSD",
     "KSDVariationalInference",
     "QuantumKSDVariationalInference",
     "cosine_lr_schedule",
     "make_optimizer",
+    "train_multi_seed",
 ]

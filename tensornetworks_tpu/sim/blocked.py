@@ -147,6 +147,11 @@ def _cz_diag(n: int, pairs: List[Tuple[int, int]]) -> Optional[np.ndarray]:
     return sign
 
 
+_CNOT4 = np.array(
+    [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=np.complex64
+)
+
+
 def _hadamard_block(size: int) -> np.ndarray:
     H = np.array([[1, 1], [1, -1]], dtype=np.complex64) / np.sqrt(2.0)
     M = np.eye(1, dtype=np.complex64)
@@ -213,8 +218,11 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
                 state = apply_adjacent_block(state, mats[i][layer], s, bs, n)
             for i in range(1, len(blocks)):
                 if chain:
+                    # Boundary CNOT acts on the adjacent bit pair (s-1, s):
+                    # a 4x4 adjacent-block contraction, layout-friendly.
                     c, t = boundaries[i - 1]
-                    state = _cross_cnot_flat(state, n, c, t)
+                    state = apply_adjacent_block(
+                        state, jnp.asarray(_CNOT4, dtype=dtype), c, 2, n)
                     if perms[i] is not None:
                         state = apply_adjacent_block(
                             state, jnp.asarray(perms[i], dtype=dtype),

@@ -14,12 +14,23 @@ import jax.numpy as jnp
 from ..core.bits import jnp_index_to_bits
 
 
+# Above this outcome-space size, Gumbel-max categorical sampling would
+# materialize (num_samples, 2^n) noise; inverse-CDF + binary search draws the
+# same distribution with O(num_samples·n) work instead.
+CDF_SAMPLING_MIN_SIZE = 4096
+
+
 def sample_indices(key: jax.Array, probs: jnp.ndarray, num_samples: int,
                    eps: float = 1e-10) -> jnp.ndarray:
     """Draw outcome indices ~ probs (with the reference's +1e-10 smoothing,
     ``born_machine_classical_sim.py:105``)."""
     p = probs + eps
-    logits = jnp.log(p / p.sum(axis=-1, keepdims=True))
+    p = p / p.sum(axis=-1, keepdims=True)
+    if probs.shape[-1] >= CDF_SAMPLING_MIN_SIZE and probs.ndim == 1:
+        cdf = jnp.cumsum(p)
+        u = jax.random.uniform(key, (num_samples,), dtype=cdf.dtype)
+        return jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, probs.shape[-1] - 1)
+    logits = jnp.log(p)
     return jax.random.categorical(key, logits, shape=(num_samples,) + probs.shape[:-1])
 
 

@@ -75,15 +75,13 @@ def _apply_cnot(re, im, c: int, t: int, n: int):
 
 
 def _apply_cz(re, im, q1: int, q2: int, n: int):
-    lo, hi = min(q1, q2), max(q1, q2)
-    a = 1 << lo
-    b = 1 << (hi - lo - 1)
-    d = 1 << (n - hi - 1)
-    re_r = re.reshape(a, 2, b, 2, d)
-    im_r = im.reshape(a, 2, b, 2, d)
-    re_r = re_r.at[:, 1, :, 1, :].multiply(-1.0)
-    im_r = im_r.at[:, 1, :, 1, :].multiply(-1.0)
-    return re_r.reshape(re.shape), im_r.reshape(im.shape)
+    # Sign vector from index bits (no scatter — Mosaic has no scatter op).
+    size = re.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)[:, 0]
+    b1 = (idx >> (n - 1 - q1)) & 1
+    b2 = (idx >> (n - 1 - q2)) & 1
+    sign = (1 - 2 * (b1 * b2)).astype(re.dtype)
+    return re * sign, im * sign
 
 
 def build_circuit_kernel(program: GateProgram, num_wires: int, num_unitaries: int):
@@ -96,7 +94,8 @@ def build_circuit_kernel(program: GateProgram, num_wires: int, num_unitaries: in
     size = 1 << n
 
     def kernel(ur_ref, ui_ref, probs_ref):
-        re = jnp.zeros((size,), dtype=jnp.float32).at[0].set(1.0)
+        idx0 = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)[:, 0]
+        re = jnp.where(idx0 == 0, 1.0, 0.0).astype(jnp.float32)
         im = jnp.zeros((size,), dtype=jnp.float32)
         for op in program:
             kind = op[0]

@@ -62,16 +62,19 @@ def _apply_cnot(re, im, c: int, t: int, n: int):
     a = 1 << lo
     b = 1 << (hi - lo - 1)
     d = 1 << (n - hi - 1)
-    # axes: (a, 2[lo], b, 2[hi], d)
-    re_r = re.reshape(a, 2, b, 2, d)
-    im_r = im.reshape(a, 2, b, 2, d)
-    if c < t:
-        re_r = jnp.concatenate([re_r[:, :1], jnp.flip(re_r[:, 1:], axis=3)], axis=1)
-        im_r = jnp.concatenate([im_r[:, :1], jnp.flip(im_r[:, 1:], axis=3)], axis=1)
-    else:
-        re_r = jnp.concatenate([re_r[:, :, :, :1], jnp.flip(re_r[:, :, :, 1:], axis=1)], axis=3)
-        im_r = jnp.concatenate([im_r[:, :, :, :1], jnp.flip(im_r[:, :, :, 1:], axis=1)], axis=3)
-    return re_r.reshape(re.shape), im_r.reshape(im.shape)
+    # axes: (a, 2[lo], b, 2[hi], d). A flip of a length-2 axis is a slice
+    # swap — written as concatenations because Mosaic lacks a `rev` op.
+    def cnot(x):
+        v = x.reshape(a, 2, b, 2, d)
+        if c < t:
+            swapped = jnp.concatenate([v[:, 1:, :, 1:], v[:, 1:, :, :1]], axis=3)
+            v = jnp.concatenate([v[:, :1], swapped], axis=1)
+        else:
+            swapped = jnp.concatenate([v[:, 1:, :, 1:], v[:, :1, :, 1:]], axis=1)
+            v = jnp.concatenate([v[:, :, :, :1], swapped], axis=3)
+        return v.reshape(x.shape)
+
+    return cnot(re), cnot(im)
 
 
 def _apply_cz(re, im, q1: int, q2: int, n: int):

@@ -17,6 +17,12 @@ each (ansatz, n, L) pair compiles one specialized kernel. Gradients: wrap via
 ``jax.custom_vjp`` with the einsum path as the backward (the forward pass
 dominates sampling / inference workloads), or use the einsum path end-to-end
 for training — both produce identical values (tested).
+
+Status: validated in interpret mode (tests/test_pallas_circuit.py); on the
+current image's Mosaic build the many tiny-axis reshapes still trip the
+native TPU compiler, so the production circuit path is the blocked executor
+(``sim/blocked.py``, pure-XLA MXU matmuls). Kept as the fusion template for
+a lane-aligned rewrite.
 """
 
 from __future__ import annotations

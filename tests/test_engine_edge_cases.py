@@ -49,3 +49,17 @@ def test_resume_from_params():
     # Loss continues from roughly where run 1 ended, far below a fresh start.
     assert h2["loss_ksd"][0] < m.history_["loss_ksd"][0] * 0.9
     assert not np.allclose(np.asarray(m2.params), mid_params)
+
+
+def test_zero_observed_vars_targets_prior():
+    # No evidence: the "posterior" is the marginal prior p(z) — the KSD
+    # engine must fit it (reference compute_prob_joint_xz handles empty x,
+    # stein_utils.py:62).
+    bn = get_sprinkler_network()
+    m = QuantumKSDVariationalInference(bn, ["C", "S", "R"], [],
+                                       qbm_num_latent_vars=3, qbm_ansatz_layers=3)
+    prior = bn.posterior_vector(["C", "S", "R"], {})
+    h = m.train({}, num_epochs=400, lr_born_machine=5e-3, verbose=False,
+                true_posterior_for_tvd=prior)
+    assert m.best_tvd_ < 0.2
+    assert h["tvd"][-1] < h["tvd"][0] * 0.5

@@ -47,6 +47,16 @@ def apply_adjacent_block(v: jnp.ndarray, M: jnp.ndarray, start: int, g: int, num
         out = jnp.einsum("aj,ij->ai", v.reshape(pre, blk), M,
                          preferred_element_type=v.dtype)
         return out.reshape(v.shape)
+    if post < 128 and blk * post <= 1024:
+        # Small trailing extent (e.g. the last group of a multi-column
+        # matvec): a direct contraction would put `post` on the lane axis.
+        # Right-multiply by the static kron(Mᵀ, I_post) instead, keeping
+        # blk*post lanes: Y[a, (i,p)] = Σ_j X[a, (j,p)] M[i, j].
+        eye = jnp.eye(post, dtype=M.dtype)
+        W = jnp.einsum("ij,pq->jpiq", M, eye).reshape(blk * post, blk * post)
+        out = jnp.einsum("aj,jk->ak", v.reshape(pre, blk * post), W,
+                         preferred_element_type=v.dtype)
+        return out.reshape(v.shape)
     vr = v.reshape(pre, blk, post)
     out = jnp.einsum("ij,ajb->aib", M, vr, preferred_element_type=vr.dtype)
     return out.reshape(v.shape)

@@ -126,7 +126,7 @@ def run_ksd_scan(
             )
 
         carry = (params, opt_state, k, best_tvd, best_epoch, best_params, best_probs, esi, stopped)
-        return carry, (ksd, tvd, gnorm, ent, stopped)
+        return carry, (ksd, tvd, gnorm, ent, stopped, ~do_update & ~stopped)
 
     init = (
         params0, opt_state, key,
@@ -136,7 +136,7 @@ def run_ksd_scan(
     (params, _, _, best_tvd, best_epoch, best_params, best_probs, _, _), outs = jax.lax.scan(
         epoch_step, init, jnp.arange(num_epochs)
     )
-    ksd_hist, tvd_hist, gnorm_hist, ent_hist, stopped_hist = outs
+    ksd_hist, tvd_hist, gnorm_hist, ent_hist, stopped_hist, skipped_hist = outs
     return {
         "params": params,
         "best_tvd": best_tvd,
@@ -148,6 +148,7 @@ def run_ksd_scan(
         "grad_norm": gnorm_hist,
         "entropy": ent_hist,
         "stopped": stopped_hist,
+        "skipped": skipped_hist,
     }
 
 
@@ -247,6 +248,7 @@ class KSDVariationalInference:
         )
         history["epochs_per_sec"] = stop_epoch / elapsed if elapsed > 0 else float("inf")
         history["train_seconds"] = elapsed
+        history["num_skipped_updates"] = int(np.asarray(out["skipped"]).sum())
         self.history_ = history
 
         if posterior_vec is not None and np.isfinite(self.best_tvd_):
@@ -369,6 +371,7 @@ class QuantumKSDVariationalInference:
         )
         history["epochs_per_sec"] = num_epochs / elapsed if elapsed > 0 else float("inf")
         history["train_seconds"] = elapsed
+        history["num_skipped_updates"] = int(np.asarray(out["skipped"]).sum())
         self.history_ = history
 
         if posterior_vec is not None and np.isfinite(self.best_tvd_):

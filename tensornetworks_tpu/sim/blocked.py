@@ -150,6 +150,7 @@ def _cz_diag(n: int, pairs: List[Tuple[int, int]]) -> Optional[np.ndarray]:
 _CNOT4 = np.array(
     [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=np.complex64
 )
+_H2 = np.array([[1, 1], [1, -1]], dtype=np.complex64) / np.sqrt(2.0)
 
 
 def _hadamard_block(size: int) -> np.ndarray:
@@ -177,6 +178,7 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
     perms = [_local_perm_matrix(chain, s, bs) for (s, bs) in blocks] if chain else []
     boundaries = [(s - 1, s) for (s, _) in blocks[1:]]
     ring_cross = bool(chain) and n > 2 and len(blocks) > 1
+    ring_cz_diag = _cz_diag(n, [(n - 1, 0)]) if ring_cross else None
     cz_diags = [
         _cz_diag(n, _cz_pairs(n, layer, ansatz_type)) for layer in range(layers)
     ]
@@ -228,7 +230,14 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
                             state, jnp.asarray(perms[i], dtype=dtype),
                             blocks[i][0], blocks[i][1], n)
             if ring_cross:
-                state = _cross_cnot_flat(state, n, n - 1, 0)
+                # Ring wrap CNOT(n-1, 0) via H₀·CZ(n-1,0)·H₀: a leading-axis
+                # 2x2 matmul, a static diagonal, and the matmul again — all
+                # perfectly tiled, unlike a strided slice/restack of the two
+                # end bits.
+                H = jnp.asarray(_H2, dtype=dtype)
+                state = apply_adjacent_block(state, H, 0, 1, n)
+                state = state * jnp.asarray(ring_cz_diag, dtype=jnp.float32)
+                state = apply_adjacent_block(state, H, 0, 1, n)
             d = cz_diags[layer]
             if d is not None:
                 state = state * jnp.asarray(d, dtype=jnp.float32)

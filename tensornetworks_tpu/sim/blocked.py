@@ -120,22 +120,6 @@ def _local_perm_matrix(gates: List[Tuple[int, int]], start: int, bsize: int) -> 
     return P
 
 
-def _cross_cnot_flat(x: jnp.ndarray, n: int, c: int, t: int) -> jnp.ndarray:
-    """CNOT between qubits in different blocks on the flat state: slice the
-    control axis, flip the target axis inside the control=1 half, restack —
-    no gathers (complex gathers are unsupported on some TPU lowerings)."""
-    lo, hi = (c, t) if c < t else (t, c)
-    A, B, C = 1 << lo, 1 << (hi - lo - 1), 1 << (n - hi - 1)
-    v = x.reshape(A, 2, B, 2, C)
-    if c < t:
-        x1 = jnp.flip(v[:, 1], axis=2)
-        v = jnp.stack([v[:, 0], x1], axis=1)
-    else:
-        x1 = jnp.flip(v[:, :, :, 1], axis=1)
-        v = jnp.stack([v[:, :, :, 0], x1], axis=3)
-    return v.reshape(x.shape)
-
-
 def _cz_diag(n: int, pairs: List[Tuple[int, int]]) -> Optional[np.ndarray]:
     if not pairs:
         return None

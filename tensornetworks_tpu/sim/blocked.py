@@ -11,9 +11,11 @@ TPU-native steps on the *flat* ``(2^n,)`` state:
    ``(pre, 2^b, post)`` reshape (``ops.kron.apply_adjacent_block``).
 2. **CNOT chain** — every CNOT is a classical permutation of basis states;
    the chain segment inside each block folds into a static permutation
-   matrix (block 0's merges into its rotation matmul), and the few
-   cross-block CNOTs apply as slice-flip restacks — no gathers (complex
-   gathers are unsupported on some TPU lowerings).
+   matrix (block 0's merges into its rotation matmul), each boundary CNOT is
+   a 4x4 adjacent-bit matmul, and the ring wrap CNOT(n-1, 0) becomes
+   H₀·CZ·H₀ (two tiled 2x2 matmuls + a static diagonal) — no gathers
+   (complex gathers are unsupported on some TPU lowerings) and no strided
+   restacks.
 3. **CZ layer** — all CZ gates are diagonal ±1; a layer's CZs multiply into
    ONE static sign vector, applied as one elementwise product.
 
@@ -157,8 +159,8 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
     has_chain = ansatz_type in ("hardware_efficient", "basic")
     chain = _chain_gates(n, ansatz_type) if has_chain else []
     # Gather-free chain decomposition: per-block intra permutation matrices
-    # (block 0's folds into its rotation matmul), cross-block boundary CNOTs
-    # as slice-flips, ring wrap last.
+    # (block 0's folds into its rotation matmul), boundary CNOTs as 4x4
+    # adjacent-bit matmuls, ring wrap last via H·CZ·H.
     perms = [_local_perm_matrix(chain, s, bs) for (s, bs) in blocks] if chain else []
     boundaries = [(s - 1, s) for (s, _) in blocks[1:]]
     ring_cross = bool(chain) and n > 2 and len(blocks) > 1

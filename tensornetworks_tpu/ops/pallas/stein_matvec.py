@@ -20,6 +20,13 @@ Mosaic constraints shape the design (this image's remote compiler rejects 3D
 Forward-only by design: ``ops.stein.ksd_quadform``'s custom VJP reuses the
 forward matvec as the gradient, so the backward never differentiates through
 this kernel.
+
+Status: validated against the XLA path in interpret mode
+(tests/test_pallas_stein.py). The image's remote Mosaic compiler currently
+crashes (HTTP 500) on the kernel at any size, so the production matvec is
+the pure-XLA ``ops.stein.stein_matvec`` (whose contractions were given the
+same lane-friendly structure); this kernel is the fusion template for when
+the backend matures.
 """
 
 from __future__ import annotations

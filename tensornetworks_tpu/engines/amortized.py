@@ -34,20 +34,28 @@ class AmortizedKSD:
     """Conditional-Born-machine KSD trained over a batch of observations."""
 
     def __init__(self, bayesian_network: BayesianNetwork, latent_vars_names: Sequence[str],
-                 observed_vars_names: Sequence[str], born_machine_config: dict,
-                 base_kernel_length_scale: float = 1.0, dtype=jnp.float32, seed: int = 0):
+                 observed_vars_names: Sequence[str], born_machine_config: Optional[dict] = None,
+                 base_kernel_length_scale: float = 1.0, dtype=jnp.float32, seed: int = 0,
+                 born_machine=None):
+        """``born_machine_config`` builds a conditional classical Born
+        machine; alternatively pass a conditioned ``QuantumBornMachine`` via
+        ``born_machine`` for amortized *quantum* inference (its angle
+        embedding is vmapped over the observation batch)."""
         self.bn = bayesian_network
         self.latent_vars_names = list(latent_vars_names)
         self.observed_vars_names = list(observed_vars_names)
         self.num_latent_vars = len(latent_vars_names)
         self.length_scale = base_kernel_length_scale
         self.dtype = dtype
-        cfg = {**born_machine_config,
-               "conditioning_dim": len(observed_vars_names),
-               "init_method": "small_random"}
-        self.born_machine = ClassicalBornMachine(
-            num_latent_vars=self.num_latent_vars, dtype=dtype, **cfg
-        )
+        if born_machine is not None:
+            self.born_machine = born_machine
+        else:
+            cfg = {**(born_machine_config or {}),
+                   "conditioning_dim": len(observed_vars_names),
+                   "init_method": "small_random"}
+            self.born_machine = ClassicalBornMachine(
+                num_latent_vars=self.num_latent_vars, dtype=dtype, **cfg
+            )
         self.params = self.born_machine.init(jax.random.PRNGKey(seed))
 
     def _stacked_tables(self, observations: List[Dict[str, int]]):
@@ -76,9 +84,15 @@ class AmortizedKSD:
 
         mv = jax.vmap(lambda q, s: stein_matvec(q, s, B, n, self.length_scale),
                       in_axes=(0, 0))
+        is_classical = isinstance(bm, ClassicalBornMachine)
+
+        def batch_probs(params, rng=None, train=False):
+            if is_classical:
+                return bm.probs(params, X, train=train, dropout_rng=rng)
+            return jax.vmap(lambda x: bm.probs(params, x))(X)
 
         def loss_fn(params, rng):
-            q = bm.probs(params, X, train=True, dropout_rng=rng)  # (X, 2^n)
+            q = batch_probs(params, rng, train=True)  # (X, 2^n)
             q = q.astype(self.dtype)
             y = mv(q, S)
             ksd = jnp.sqrt(jnp.clip(jnp.einsum("xi,xi->x", q, y), 1e-12, None))
@@ -91,7 +105,7 @@ class AmortizedKSD:
             (loss, q), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, sub)
             ok = jnp.isfinite(loss)
             params, opt_state = guarded_update(optimizer, grads, opt_state, params, ok)
-            q_eval = bm.probs(params, X).astype(self.dtype)
+            q_eval = batch_probs(params).astype(self.dtype)
             tvd = 0.5 * jnp.abs(q_eval - posts).sum(-1)
             return (params, opt_state, key), (loss, tvd.mean(), global_norm(grads))
 

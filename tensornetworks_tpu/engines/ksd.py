@@ -341,13 +341,21 @@ class QuantumKSDVariationalInference:
         optimizer = make_optimizer(optimizer_type, lr_born_machine, num_epochs,
                                    use_lr_scheduler, adam_betas, gradient_clip_norm)
         bm = self.born_machine
+        # Conditioned QBM (angle-embedding, beyond the reference's warn-only
+        # stub): feed the observation vector into the circuit.
+        x_cond = None
+        if bm.conditioning_dim > 0 and self.num_observed_vars > 0:
+            x_cond = jnp.asarray(
+                [x_observation_dict[nm] for nm in self.observed_vars_names],
+                dtype=jnp.float32,
+            )
 
         def probs_fn(p, rng):
             del rng
-            return bm.probs(p).astype(self.dtype)
+            return bm.probs(p, x_cond).astype(self.dtype)
 
         def eval_probs_fn(p):
-            return bm.probs(p).astype(self.dtype)
+            return bm.probs(p, x_cond).astype(self.dtype)
 
         run = jax.jit(
             lambda p0, k: run_ksd_scan(
@@ -363,6 +371,7 @@ class QuantumKSDVariationalInference:
         elapsed = time.perf_counter() - t0
 
         self.params = out["params"]
+        self._x_condition = x_cond
         self.best_params_ = out["best_params"]
         self.best_tvd_ = float(out["best_tvd"])
         self.best_epoch_ = int(out["best_epoch"])
@@ -393,4 +402,6 @@ class QuantumKSDVariationalInference:
         return history
 
     def get_prob_dict(self, x_condition=None) -> dict:
+        if x_condition is None:
+            x_condition = getattr(self, "_x_condition", None)
         return self.born_machine.get_prob_dict(self.params, x_condition)

@@ -9,13 +9,17 @@ parameter-shift re-execution (2·3·L·n circuit sims per step in the reference,
 Ansatz families, parameter counts and init methods match the reference
 (``:30-47``): ``hardware_efficient``/``all_to_all`` use ``3·L·n`` params,
 ``basic`` ``2·L·n``; init ``zero | small_random (0.1·N(0,1)) |
-random (U[0, 2π))``. Conditioning is declared but not implemented, exactly as
-in the reference (``:132-137`` only warns) — kept for API parity.
+random (U[0, 2π))``.
+
+Conditioning: the reference *declares* ``conditioning_dim`` but never
+implements it (``:132-137`` only prints a warning). Here it is implemented
+via angle embedding — an RY(π·x) wall after the Hadamard wall, the
+observation vector cycled across qubits — enabling amortized quantum
+inference (pass ``x_condition`` to ``probs``/``sample``/``log_q``).
 """
 
 from __future__ import annotations
 
-import warnings
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,16 +49,21 @@ class QuantumBornMachine:
         self.all_outcome_tuples = generate_all_binary_outcomes(num_latent_vars)
         ansatz_state_fn(ansatz_type)  # validate early
         if backend == "auto":
-            backend = "blocked" if num_latent_vars >= 6 else "einsum"
+            backend = "blocked" if (num_latent_vars >= 6 or conditioning_dim > 0) else "einsum"
+        if conditioning_dim > 0 and backend != "blocked":
+            raise ValueError("conditioned quantum Born machines require the 'blocked' backend")
         self.backend = backend
         if backend == "blocked":
             from ..sim.blocked import make_blocked_probs_fn, make_blocked_state_fn
 
+            cond = conditioning_dim > 0
             self._blocked_probs = make_blocked_probs_fn(
-                num_latent_vars, ansatz_layers, ansatz_type, block=block, dtype=dtype
+                num_latent_vars, ansatz_layers, ansatz_type, block=block, dtype=dtype,
+                conditioning=cond,
             )
             self._blocked_state = make_blocked_state_fn(
-                num_latent_vars, ansatz_layers, ansatz_type, block=block, dtype=dtype
+                num_latent_vars, ansatz_layers, ansatz_type, block=block, dtype=dtype,
+                conditioning=cond,
             )
         else:
             self._blocked_probs = None
@@ -70,19 +79,33 @@ class QuantumBornMachine:
         return jax.random.uniform(key, (self.num_params,), dtype=jnp.float32,
                                   maxval=2.0 * np.pi)
 
+    def _embed_angles(self, x_condition) -> jnp.ndarray:
+        """Cycle the observation vector across qubits, scaled to [0, π]."""
+        n = self.num_latent_vars
+        x = jnp.asarray(x_condition, dtype=jnp.float32).reshape(-1)
+        reps = -(-n // x.shape[0])
+        return jnp.pi * jnp.tile(x, reps)[:n]
+
     def probs(self, params: jnp.ndarray, x_condition=None) -> jnp.ndarray:
-        """Analytic q_θ(z) over all 2^n outcomes (|ψ(θ)|²)."""
-        if self.conditioning_dim > 0 and x_condition is not None:
-            warnings.warn(
-                "Conditioning with x_condition not fully implemented in PQC ansatz yet."
-            )
+        """Analytic q_θ(z[, |x]) over all 2^n outcomes (|ψ|²)."""
+        if self.conditioning_dim > 0:
+            if x_condition is None:
+                raise ValueError("x_condition must be provided for a conditioned "
+                                 "quantum Born machine.")
+            return self._blocked_probs(params, self._embed_angles(x_condition))
         if self._blocked_probs is not None:
             return self._blocked_probs(params)
         return ansatz_probs(params, self.num_latent_vars, self.ansatz_layers,
                             self.ansatz_type, dtype=self.dtype)
 
-    def state(self, params: jnp.ndarray) -> jnp.ndarray:
+    def state(self, params: jnp.ndarray, x_condition=None) -> jnp.ndarray:
         """Full statevector ψ(θ) as a (2,)*n tensor."""
+        if self.conditioning_dim > 0:
+            if x_condition is None:
+                raise ValueError("x_condition must be provided for a conditioned "
+                                 "quantum Born machine.")
+            return self._blocked_state(params, self._embed_angles(x_condition)).reshape(
+                (2,) * self.num_latent_vars)
         if self._blocked_state is not None:
             return self._blocked_state(params).reshape((2,) * self.num_latent_vars)
         return ansatz_state_fn(self.ansatz_type)(params, self.num_latent_vars,

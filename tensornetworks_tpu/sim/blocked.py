@@ -148,8 +148,14 @@ def _hadamard_block(size: int) -> np.ndarray:
 
 
 def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
-                          block: int = 8, dtype=jnp.complex64):
-    """state(params) evaluating the ansatz via blocked execution."""
+                          block: int = 8, dtype=jnp.complex64,
+                          conditioning: bool = False):
+    """state(params[, embed_angles]) evaluating the ansatz via blocked
+    execution. With ``conditioning=True`` the returned function takes a
+    second argument of per-qubit embedding angles and applies an RY(θ_q)
+    wall after the Hadamard wall (angle-embedding data conditioning — a
+    capability the reference declares but never implements,
+    ``quantum_born_machine.py:132-137``)."""
     if ansatz_type not in ANSATZ_TYPES:
         raise ValueError(f"Unknown ansatz_type {ansatz_type!r}")
     n = num_wires
@@ -195,11 +201,22 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
             out.append(M)
         return out
 
-    def state_fn(params: jnp.ndarray) -> jnp.ndarray:
+    def state_fn(params: jnp.ndarray, embed_angles=None) -> jnp.ndarray:
         state = jnp.zeros((size,), dtype=dtype).at[0].set(1.0)
         if h_blocks is not None:
             for (s, bs), hb in zip(blocks, h_blocks):
                 state = apply_adjacent_block(state, jnp.asarray(hb, dtype=dtype), s, bs, n)
+        if conditioning:
+            if embed_angles is None:
+                raise ValueError("conditioning=True requires embed_angles")
+            from .gates import ry_batched
+
+            U = ry_batched(embed_angles.reshape(n)).astype(dtype)  # (n, 2, 2)
+            for s, bs in blocks:
+                M = U[s]
+                for qq in range(s + 1, s + bs):
+                    M = batched_kron(M, U[qq])
+                state = apply_adjacent_block(state, M, s, bs, n)
         mats = block_matrices(params)
         for layer in range(layers):
             for i, (s, bs) in enumerate(blocks):
@@ -233,11 +250,18 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
 
 
 def make_blocked_probs_fn(num_wires: int, layers: int, ansatz_type: str,
-                          block: int = 8, dtype=jnp.complex64):
-    state_fn = make_blocked_state_fn(num_wires, layers, ansatz_type, block, dtype)
+                          block: int = 8, dtype=jnp.complex64,
+                          conditioning: bool = False):
+    state_fn = make_blocked_state_fn(num_wires, layers, ansatz_type, block, dtype,
+                                     conditioning=conditioning)
 
-    def probs_fn(params: jnp.ndarray) -> jnp.ndarray:
-        amp = state_fn(params)
-        return jnp.real(amp * jnp.conj(amp))
+    if conditioning:
+        def probs_fn(params: jnp.ndarray, embed_angles) -> jnp.ndarray:
+            amp = state_fn(params, embed_angles)
+            return jnp.real(amp * jnp.conj(amp))
+    else:
+        def probs_fn(params: jnp.ndarray) -> jnp.ndarray:
+            amp = state_fn(params)
+            return jnp.real(amp * jnp.conj(amp))
 
     return probs_fn

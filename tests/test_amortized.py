@@ -33,3 +33,19 @@ def test_multi_seed_sweep():
     # monotone in the loss for unlucky seeds, so assert on the objective).
     assert not np.allclose(params[0], params[1])
     assert (losses[-1] < losses[0] * 0.8).all()
+
+
+def test_amortized_quantum_ksd():
+    # Amortized QUANTUM inference: one conditioned PQC answers both queries
+    # (the reference's QBM conditioning is an unimplemented warning stub).
+    from tensornetworks_tpu.models import QuantumBornMachine
+
+    bn = get_sprinkler_network()
+    qbm = QuantumBornMachine(3, ansatz_layers=4, conditioning_dim=1)
+    m = AmortizedKSD(bn, ["C", "S", "R"], ["W"], born_machine=qbm)
+    h = m.train([{"W": 0}, {"W": 1}], num_epochs=800, lr=5e-3, verbose=False)
+    assert h["loss"][-1] < h["loss"][0] * 0.3
+    assert h["mean_tvd"][-1] < h["mean_tvd"][0]
+    q0 = np.asarray(m.posterior_for({"W": 0}))
+    q1 = np.asarray(m.posterior_for({"W": 1}))
+    assert np.abs(q0 - q1).max() > 1e-3  # genuinely conditioned

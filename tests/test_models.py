@@ -109,12 +109,21 @@ def test_quantum_bm_init_and_probs():
     assert float(thr.max()) <= 2 * np.pi and float(thr.min()) >= 0
 
 
-def test_quantum_bm_conditioning_warns():
-    # Parity: quantum_born_machine.py:132-137 warns, does not condition.
-    qbm = QuantumBornMachine(2, conditioning_dim=1)
+def test_quantum_bm_conditioning_actually_conditions():
+    # The reference only warns (quantum_born_machine.py:132-137); here
+    # conditioning is implemented via angle embedding — different x must
+    # yield different distributions, and x is required.
+    qbm = QuantumBornMachine(3, ansatz_layers=2, conditioning_dim=1)
     th = qbm.init(jax.random.PRNGKey(0))
-    with pytest.warns(UserWarning):
-        qbm.probs(th, x_condition=jnp.asarray([1.0]))
+    p0 = np.asarray(qbm.probs(th, x_condition=jnp.asarray([0.0])))
+    p1 = np.asarray(qbm.probs(th, x_condition=jnp.asarray([1.0])))
+    assert abs(p0.sum() - 1.0) < 1e-5 and abs(p1.sum() - 1.0) < 1e-5
+    assert np.abs(p0 - p1).max() > 1e-3
+    with pytest.raises(ValueError):
+        qbm.probs(th)
+    # x = 0 embeds RY(0) = identity: matches the unconditioned circuit.
+    qbm_plain = QuantumBornMachine(3, ansatz_layers=2, backend="blocked")
+    np.testing.assert_allclose(p0, np.asarray(qbm_plain.probs(th)), atol=1e-6)
 
 
 def test_classifier_default_dims_and_probs():

@@ -69,31 +69,22 @@ def kron_matvec(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 7) ->
     amortizing bandwidth. ``A`` is a host-side 2x2 (any square) matrix; the
     grouped powers are folded into the jitted program as constants.
 
-    For multi-column inputs the FINAL group is sized so ``2^g·C ≤ 1024``,
-    putting it on the lane-friendly kron(Mᵀ, I_C) right-multiply path of
-    ``apply_adjacent_block`` instead of a C-lane contraction.
+    (Measured note: fewer, larger passes win on this backend — splitting the
+    tail into extra small lane-friendly groups costs more than the padded
+    contraction it avoids, so grouping is simple sequential chunks; the
+    kron(Mᵀ, I) right-multiply in ``apply_adjacent_block`` still catches
+    small trailing extents within the final chunk.)
     """
     if num_vars == 0:
         return v
     dtype = v.dtype
-    c = v.shape[1] if v.ndim == 2 else 1
-    if c > 1:
-        tail = max(1, min(group, int(np.floor(np.log2(max(2, 1024 // c))))))
-        tail = min(tail, num_vars)
-    else:
-        tail = min(group, num_vars)
-    rest = num_vars - tail
-    plan = []
-    s = 0
-    while s < rest:
-        g = min(group, rest - s)
-        plan.append((s, g))
-        s += g
-    plan.append((rest, tail))
     out = v
-    for s, g in plan:
+    s = 0
+    while s < num_vars:
+        g = min(group, num_vars - s)
         M = jnp.asarray(kron_power_np(A, g), dtype=dtype)
         out = apply_adjacent_block(out, M, s, g, num_vars)
+        s += g
     return out
 
 

@@ -119,7 +119,8 @@ def stein_gram_dense(S, num_vars: int, length_scale: float = 1.0, dtype=jnp.floa
 
 
 def stein_matvec(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray, num_vars: int,
-                 length_scale: float = 1.0, group: int = 7) -> jnp.ndarray:
+                 length_scale: float = 1.0, group: int = 7,
+                 compute_dtype=None) -> jnp.ndarray:
     """y = K_p @ q without materializing K_p: O(n²·2^n).
 
     Batches 3n+1 weighted copies of q through the Kronecker base-kernel
@@ -135,7 +136,7 @@ def stein_matvec(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray, num_vars: int,
     V = jnp.concatenate(
         [q[:, None], B * q[:, None], S * q[:, None], SB * q[:, None]], axis=1
     )  # (2^n, 3n+1)
-    Y = kron_matvec(V, A, n, group=group)
+    Y = kron_matvec(V, A, n, group=group, compute_dtype=compute_dtype)
     P0 = Y[:, 0]
     P = Y[:, 1 : n + 1]          # K(b_m ∘ q)
     Q = Y[:, n + 1 : 2 * n + 1]  # K(S_m ∘ q)
@@ -163,24 +164,25 @@ def stein_matvec(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray, num_vars: int,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def ksd_quadform(q, S, B, num_vars: int, length_scale: float = 1.0, group: int = 7):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def ksd_quadform(q, S, B, num_vars: int, length_scale: float = 1.0, group: int = 7,
+                 compute_dtype=None):
     """qᵀ K_p q via the matvec path, with a custom VJP.
 
     K_p is symmetric, so ∂(qᵀKq)/∂q = 2·K_p q — the forward matvec is reused
     as the gradient, halving backward cost. S and B are treated as constants
     (their cotangents are zero): do **not** differentiate through them.
     """
-    y = stein_matvec(q, S, B, num_vars, length_scale, group)
+    y = stein_matvec(q, S, B, num_vars, length_scale, group, compute_dtype)
     return jnp.dot(q, y)
 
 
-def _ksd_quadform_fwd(q, S, B, num_vars, length_scale, group):
-    y = stein_matvec(q, S, B, num_vars, length_scale, group)
+def _ksd_quadform_fwd(q, S, B, num_vars, length_scale, group, compute_dtype):
+    y = stein_matvec(q, S, B, num_vars, length_scale, group, compute_dtype)
     return jnp.dot(q, y), (y, S, B)
 
 
-def _ksd_quadform_bwd(num_vars, length_scale, group, res, g):
+def _ksd_quadform_bwd(num_vars, length_scale, group, compute_dtype, res, g):
     y, S, B = res
     return (2.0 * g * y, jnp.zeros_like(S), jnp.zeros_like(B))
 
@@ -202,10 +204,12 @@ class SteinOperator:
     DENSE_MAX_VARS = 12
 
     def __init__(self, score: np.ndarray, num_vars: int, length_scale: float = 1.0,
-                 dtype=jnp.float32, dense: bool | None = None, group: int = 7):
+                 dtype=jnp.float32, dense: bool | None = None, group: int = 7,
+                 compute_dtype=None):
         self.num_vars = num_vars
         self.length_scale = float(length_scale)
         self.group = group
+        self.compute_dtype = compute_dtype
         self.dense = dense if dense is not None else num_vars <= self.DENSE_MAX_VARS
         self.S = jnp.asarray(score, dtype=dtype)
         self.B = jnp.asarray(all_bitstrings(num_vars), dtype=dtype)
@@ -218,13 +222,15 @@ class SteinOperator:
     def matvec(self, q: jnp.ndarray) -> jnp.ndarray:
         if self.dense:
             return self.gram @ q
-        return stein_matvec(q, self.S, self.B, self.num_vars, self.length_scale, self.group)
+        return stein_matvec(q, self.S, self.B, self.num_vars, self.length_scale,
+                            self.group, self.compute_dtype)
 
     def quadform(self, q: jnp.ndarray) -> jnp.ndarray:
         """qᵀ K_p q (the squared KSD of the distribution q)."""
         if self.dense:
             return jnp.dot(q, self.gram @ q)
-        return ksd_quadform(q, self.S, self.B, self.num_vars, self.length_scale, self.group)
+        return ksd_quadform(q, self.S, self.B, self.num_vars, self.length_scale,
+                            self.group, self.compute_dtype)
 
     def ksd_loss(self, q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
         """sqrt(clamp(qᵀ K_p q, eps)) — reference loss at ``ksd_vi.py:133-134``."""

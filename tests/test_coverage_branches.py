@@ -73,3 +73,25 @@ def test_forward_sampling_seeded_reproducible():
     assert t1 == t2
     _, t3 = bn.sample_forward(100, seed=8)
     assert t1 != t3
+
+
+def test_bf16_compute_dtype_matvec():
+    # Reduced-precision Kronecker passes with f32 accumulation: ~0.5% rel
+    # error, gradients via the custom VJP stay consistent.
+    import jax.numpy as jnp
+    from tensornetworks_tpu.core import get_random_chain_network
+    from tensornetworks_tpu.ops import SteinOperator, score_table
+
+    n = 8
+    bnet = get_random_chain_network(n + 1, seed=2)
+    t = bnet.conditional_joint_table([f"V{i}" for i in range(n)], {f"V{n}": 1})
+    S = score_table(t)
+    op32 = SteinOperator(S, n, dense=False)
+    opbf = SteinOperator(S, n, dense=False, compute_dtype=jnp.bfloat16)
+    q = jnp.asarray(np.random.default_rng(1).random(2**n), dtype=jnp.float32)
+    y32, ybf = op32.matvec(q), opbf.matvec(q)
+    rel = float(jnp.abs(ybf - y32).max() / jnp.abs(y32).max())
+    assert rel < 0.02
+    g32 = jax.grad(op32.quadform)(q)
+    gbf = jax.grad(opbf.quadform)(q)
+    assert float(jnp.abs(gbf - g32).max() / jnp.abs(g32).max()) < 0.02

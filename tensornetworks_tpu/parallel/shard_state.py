@@ -72,6 +72,98 @@ def distributed_apply_1q(mesh: Mesh, num_vars: int):
     return apply_fn
 
 
+def distributed_apply_cz(mesh: Mesh, num_vars: int):
+    """CZ between any two wires of a state-sharded register. Diagonal, so it
+    needs NO communication even on global bits — the sign is computed from
+    the device index and the local index."""
+    k = _num_global_bits(mesh)
+    spec = P(STATE_AXIS)
+    local_n = num_vars - k
+
+    def apply_fn(state, q1: int, q2: int):
+        @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec)
+        def body(x):
+            idx = jax.lax.axis_index(STATE_AXIS)
+            lidx = jnp.arange(x.shape[0], dtype=jnp.int32)
+
+            def bit(q):
+                if q < k:
+                    return (idx >> (k - 1 - q)) & 1
+                return (lidx >> (local_n - 1 - (q - k))) & 1
+
+            sign = 1 - 2 * (bit(q1) * bit(q2))
+            return x * sign.astype(x.dtype)
+
+        return body(state)
+
+    return apply_fn
+
+
+def distributed_apply_cnot(mesh: Mesh, num_vars: int):
+    """CNOT between any two wires of a state-sharded register.
+
+    Four cases by where control c and target t live (SURVEY.md §7 hard part
+    (d) — the sharded two-qubit gate):
+
+    - both local: in-place slice permutation, no communication;
+    - c global, t local: conditional local target-flip on the c=1 devices;
+    - t global (c anywhere): ``lax.ppermute`` pairs devices differing in the
+      target bit; each element keeps its own value unless its control bit is
+      1, in which case it takes the partner's.
+    """
+    k = _num_global_bits(mesh)
+    d = 1 << k
+    spec = P(STATE_AXIS)
+    local_n = num_vars - k
+
+    def _local_flip(x, t_local: int):
+        # Flip the target axis of the local chunk (a permutation copy).
+        a = 1 << t_local
+        b = 1 << (local_n - t_local - 1)
+        v = x.reshape(a, 2, b)
+        return jnp.stack([v[:, 1], v[:, 0]], axis=1).reshape(x.shape)
+
+    def apply_fn(state, c: int, t: int):
+        if c >= k and t >= k:
+            # Both wires local: plain local CNOT.
+            @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec)
+            def both_local(x):
+                from ..sim.statevector import apply_cnot
+
+                nd = x.reshape((2,) * local_n)
+                return apply_cnot(nd, c - k, t - k).reshape(x.shape)
+
+            return both_local(state)
+
+        if c < k and t >= k:
+            @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec)
+            def c_global(x):
+                idx = jax.lax.axis_index(STATE_AXIS)
+                mine = (idx >> (k - 1 - c)) & 1
+                return jnp.where(mine == 1, _local_flip(x, t - k), x)
+
+            return c_global(state)
+
+        # Target is global: exchange partner shards along the target bit.
+        bit = 1 << (k - 1 - t)
+        perm = [(i, i ^ bit) for i in range(d)]
+
+        @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec)
+        def t_global(x):
+            idx = jax.lax.axis_index(STATE_AXIS)
+            other = jax.lax.ppermute(x, STATE_AXIS, perm)
+            if c < k:
+                ctrl = ((idx >> (k - 1 - c)) & 1).astype(jnp.int32)
+                return jnp.where(ctrl == 1, other, x)
+            lidx = jnp.arange(x.shape[0], dtype=jnp.int32)
+            ctrl = (lidx >> (local_n - 1 - (c - k))) & 1
+            return jnp.where(ctrl == 1, other, x)
+
+        return t_global(state)
+
+    return apply_fn
+
+
 def distributed_kron_matvec(mesh: Mesh, A: np.ndarray, num_vars: int, group: int = 7):
     """Build ``matvec(v) = (A^{⊗n}) @ v`` for v (2^n,) sharded over the
     leading bits: local bits via grouped MXU matmuls, the k global bits via

@@ -56,3 +56,33 @@ def test_distributed_gate_under_jit():
     got = np.asarray(jax.jit(lambda s: apply_fn(s, U, 0))(v_sharded))
     want = np.asarray(apply_adjacent_block(v, U, 0, 1, n))
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_distributed_cnot_all_cases():
+    # All four locality cases: (c,t) both global, c global/t local,
+    # c local/t global, both local (n=6, k=3 on the 8-device mesh).
+    from tensornetworks_tpu.sim.statevector import apply_cnot
+    from tensornetworks_tpu.parallel.shard_state import distributed_apply_cnot
+
+    n = 6
+    mesh = make_mesh(8, dp=1)
+    apply_fn = distributed_apply_cnot(mesh, n)
+    v_sharded, v = _sharded_vector(mesh, n, seed=5)
+    for c, t in [(0, 2), (2, 0), (1, 4), (0, 5), (4, 1), (5, 0), (3, 5), (5, 3)]:
+        got = np.asarray(apply_fn(v_sharded, c, t))
+        want = np.asarray(apply_cnot(v.reshape((2,) * n), c, t)).reshape(-1)
+        np.testing.assert_allclose(got, want, atol=1e-12, err_msg=f"cnot({c},{t})")
+
+
+def test_distributed_cz_all_cases():
+    from tensornetworks_tpu.sim.statevector import apply_cz
+    from tensornetworks_tpu.parallel.shard_state import distributed_apply_cz
+
+    n = 6
+    mesh = make_mesh(8, dp=1)
+    apply_fn = distributed_apply_cz(mesh, n)
+    v_sharded, v = _sharded_vector(mesh, n, seed=6)
+    for a, b in [(0, 1), (0, 4), (4, 0), (3, 5), (1, 2)]:
+        got = np.asarray(apply_fn(v_sharded, a, b))
+        want = np.asarray(apply_cz(v.reshape((2,) * n), a, b)).reshape(-1)
+        np.testing.assert_allclose(got, want, atol=1e-12, err_msg=f"cz({a},{b})")

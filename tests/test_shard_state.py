@@ -86,3 +86,21 @@ def test_distributed_cz_all_cases():
         got = np.asarray(apply_fn(v_sharded, a, b))
         want = np.asarray(apply_cz(v.reshape((2,) * n), a, b)).reshape(-1)
         np.testing.assert_allclose(got, want, atol=1e-12, err_msg=f"cz({a},{b})")
+
+
+def test_distributed_ansatz_matches_single_device():
+    from tensornetworks_tpu.parallel.distributed_ansatz import (
+        make_distributed_ansatz_probs,
+    )
+    from tensornetworks_tpu.sim import ansatz_probs, num_ansatz_params
+
+    n, L = 6, 2
+    mesh = make_mesh(8, dp=1)
+    for ansatz in ["hardware_efficient", "basic"]:
+        k = num_ansatz_params(n, L, ansatz)
+        params = jnp.asarray(np.random.default_rng(9).uniform(0, 2 * np.pi, k),
+                             dtype=jnp.float64)
+        dist = make_distributed_ansatz_probs(mesh, n, L, ansatz, dtype=jnp.complex128)
+        p_dist = np.asarray(jax.jit(dist)(params))
+        p_ref = np.asarray(ansatz_probs(params, n, L, ansatz, dtype=jnp.complex128))
+        np.testing.assert_allclose(p_dist, p_ref, atol=1e-12, err_msg=ansatz)

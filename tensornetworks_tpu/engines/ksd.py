@@ -206,7 +206,8 @@ class KSDVariationalInference:
               gradient_clip_norm: float = 10.0, optimizer_type: str = "adam",
               adam_betas=(0.9, 0.999), entropy_weight: float = 0.01,
               patience: int = 200, seed: Optional[int] = None,
-              checkpoint_path: Optional[str] = None) -> dict:
+              checkpoint_path: Optional[str] = None,
+              profile_dir: Optional[str] = None) -> dict:
         x_cond = self._x_cond_tensor(x_observation_dict)
         self._x_condition = x_cond
         op = self.build_operator(x_observation_dict)
@@ -230,9 +231,12 @@ class KSDVariationalInference:
                 log_every=max(1, num_epochs // 20) if verbose else 0,
             )
         )
+        from ..train.profiling import profile_trace
+
         t0 = time.perf_counter()
-        out = run(self.params, jax.random.PRNGKey(self.seed if seed is None else seed))
-        jax.block_until_ready(out["loss_ksd"])
+        with profile_trace(profile_dir):
+            out = run(self.params, jax.random.PRNGKey(self.seed if seed is None else seed))
+            jax.block_until_ready(out["loss_ksd"])
         elapsed = time.perf_counter() - t0
 
         stopped = np.asarray(out["stopped"])
@@ -333,7 +337,8 @@ class QuantumKSDVariationalInference:
               true_posterior_for_tvd=None, use_lr_scheduler: bool = True,
               gradient_clip_norm: float = 10.0, optimizer_type: str = "adam",
               adam_betas=(0.9, 0.999), seed: Optional[int] = None,
-              checkpoint_path: Optional[str] = None) -> dict:
+              checkpoint_path: Optional[str] = None,
+              profile_dir: Optional[str] = None) -> dict:
         if self.num_observed_vars > 0 and set(x_observation_dict) != set(self.observed_vars_names):
             raise ValueError("Keys in x_observation_dict must match self.observed_vars_names.")
         op = self.build_operator(x_observation_dict)
@@ -365,9 +370,12 @@ class QuantumKSDVariationalInference:
                 log_every=max(1, num_epochs // 20) if verbose else 0,
             )
         )
+        from ..train.profiling import profile_trace
+
         t0 = time.perf_counter()
-        out = run(self.params, jax.random.PRNGKey(self.seed if seed is None else seed))
-        jax.block_until_ready(out["loss_ksd"])
+        with profile_trace(profile_dir):
+            out = run(self.params, jax.random.PRNGKey(self.seed if seed is None else seed))
+            jax.block_until_ready(out["loss_ksd"])
         elapsed = time.perf_counter() - t0
 
         self.params = out["params"]

@@ -101,6 +101,38 @@ def kron_matvec(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 7,
     return out.astype(dtype)
 
 
+def kron_matvec_rows(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 7) -> jnp.ndarray:
+    """(A^{⊗n}) applied along the TRAILING state axis of every row of a
+    ``(C, 2^n)`` matrix.
+
+    The row layout keeps the huge state extent on the lane axis for every
+    grouped pass (the column layout of ``kron_matvec`` pads a C<128 lane
+    axis on its final group); the last group's contraction flips to the
+    lane-axis 2D-matmul form.
+    """
+    if num_vars == 0:
+        return v
+    dtype = v.dtype
+    c = v.shape[0]
+    out = v
+    s = 0
+    while s < num_vars:
+        g = min(group, num_vars - s)
+        M = jnp.asarray(kron_power_np(A, g), dtype=dtype)
+        pre = c << s
+        blk = 1 << g
+        post = 1 << (num_vars - s - g)
+        if post == 1:
+            out = jnp.einsum("aj,ij->ai", out.reshape(pre, blk), M,
+                             preferred_element_type=dtype)
+        else:
+            out = jnp.einsum("ij,ajb->aib", M, out.reshape(pre, blk, post),
+                             preferred_element_type=dtype)
+        out = out.reshape(c, -1)
+        s += g
+    return out
+
+
 def apply_to_wires(state_nd: jnp.ndarray, U: jnp.ndarray, wires) -> jnp.ndarray:
     """Apply a k-wire operator U (2^k x 2^k) to axes ``wires`` of the
     ``(2,)*n`` state tensor (arbitrary, possibly non-adjacent wires).

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..core.bits import all_bitstrings
 from .hamming import decay_factor
-from .kron import kron_matvec
+from .kron import kron_matvec, kron_matvec_rows
 
 # Reference zero-probability guard threshold (stein_utils.py:126).
 SCORE_EPS = 1e-12
@@ -132,28 +132,33 @@ def stein_matvec(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray, num_vars: int,
         return jnp.zeros_like(q)
     a = decay_factor(n, length_scale)
     A = np.array([[1.0, a], [a, 1.0]])
-    SB = S * B
-    V = jnp.concatenate(
-        [q[:, None], B * q[:, None], S * q[:, None], SB * q[:, None]], axis=1
-    )  # (2^n, 3n+1)
-    Y = kron_matvec(V, A, n, group=group, compute_dtype=compute_dtype)
-    P0 = Y[:, 0]
-    P = Y[:, 1 : n + 1]          # K(b_m ∘ q)
-    Q = Y[:, n + 1 : 2 * n + 1]  # K(S_m ∘ q)
-    T = Y[:, 2 * n + 1 :]        # K(S_m ∘ b_m ∘ q)
+    # Row layout (C, 2^n): the state extent stays on the lane axis in every
+    # Kronecker pass (see kron_matvec_rows).
+    St = S.T
+    Bt = B.T
+    SBt = St * Bt
+    V = jnp.concatenate([q[None, :], Bt * q, St * q, SBt * q], axis=0)  # (3n+1, 2^n)
+    if compute_dtype is not None:
+        Y = kron_matvec_rows(V.astype(compute_dtype), A, n, group=group).astype(V.dtype)
+    else:
+        Y = kron_matvec_rows(V, A, n, group=group)
+    P0 = Y[0]
+    P = Y[1 : n + 1]          # K(b_m ∘ q)
+    Q = Y[n + 1 : 2 * n + 1]  # K(S_m ∘ q)
+    T = Y[2 * n + 1 :]        # K(S_m ∘ b_m ∘ q)
 
-    u = SB.sum(axis=1)
-    R = S.sum(axis=1)
-    h = B.sum(axis=1)
+    u = SBt.sum(axis=0)
+    R = St.sum(axis=0)
+    h = Bt.sum(axis=0)
     c1 = 1.0 - 1.0 / a
     c2 = 1.0 - a
 
-    term_G = (S * Q).sum(axis=1)
-    y_T1 = u * P0 + (S * (1.0 - 2.0 * B) * P).sum(axis=1)
-    y_T1t = T.sum(axis=1) + (B * (Q - 2.0 * T)).sum(axis=1)
+    term_G = (St * Q).sum(axis=0)
+    y_T1 = u * P0 + (St * (1.0 - 2.0 * Bt) * P).sum(axis=0)
+    y_T1t = T.sum(axis=0) + (Bt * (Q - 2.0 * T)).sum(axis=0)
     y_Ri = R * P0
-    y_Rj = Q.sum(axis=1)
-    y_D = h * P0 + P.sum(axis=1) - 2.0 * (B * P).sum(axis=1)
+    y_Rj = Q.sum(axis=0)
+    y_D = h * P0 + P.sum(axis=0) - 2.0 * (Bt * P).sum(axis=0)
 
     return (
         term_G

@@ -132,33 +132,43 @@ def stein_matvec(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray, num_vars: int,
         return jnp.zeros_like(q)
     a = decay_factor(n, length_scale)
     A = np.array([[1.0, a], [a, 1.0]])
-    # Row layout (C, 2^n): the state extent stays on the lane axis in every
-    # Kronecker pass (see kron_matvec_rows).
-    St = S.T
-    Bt = B.T
-    SBt = St * Bt
-    V = jnp.concatenate([q[None, :], Bt * q, St * q, SBt * q], axis=0)  # (3n+1, 2^n)
-    if compute_dtype is not None:
-        Y = kron_matvec_rows(V.astype(compute_dtype), A, n, group=group).astype(V.dtype)
+    # Layout choice (measured on v5e): the column layout (2^n, 3n+1) wins at
+    # moderate n; the row layout (3n+1, 2^n) — state extent on the lane axis
+    # in every pass — wins once the state dwarfs the column count (n ≥ 18).
+    use_rows = n >= 18
+    if use_rows:
+        St, Bt = S.T, B.T
+        SBt = St * Bt
+        V = jnp.concatenate([q[None, :], Bt * q, St * q, SBt * q], axis=0)
+        if compute_dtype is not None:
+            Y = kron_matvec_rows(V.astype(compute_dtype), A, n, group=group).astype(V.dtype)
+        else:
+            Y = kron_matvec_rows(V, A, n, group=group)
+        P0, P = Y[0], Y[1 : n + 1]
+        Q, T = Y[n + 1 : 2 * n + 1], Y[2 * n + 1 :]
+        ax, Sm, Bm, SBm = 0, St, Bt, SBt
     else:
-        Y = kron_matvec_rows(V, A, n, group=group)
-    P0 = Y[0]
-    P = Y[1 : n + 1]          # K(b_m ∘ q)
-    Q = Y[n + 1 : 2 * n + 1]  # K(S_m ∘ q)
-    T = Y[2 * n + 1 :]        # K(S_m ∘ b_m ∘ q)
+        SB = S * B
+        V = jnp.concatenate(
+            [q[:, None], B * q[:, None], S * q[:, None], SB * q[:, None]], axis=1
+        )  # (2^n, 3n+1)
+        Y = kron_matvec(V, A, n, group=group, compute_dtype=compute_dtype)
+        P0, P = Y[:, 0], Y[:, 1 : n + 1]
+        Q, T = Y[:, n + 1 : 2 * n + 1], Y[:, 2 * n + 1 :]
+        ax, Sm, Bm, SBm = 1, S, B, SB
 
-    u = SBt.sum(axis=0)
-    R = St.sum(axis=0)
-    h = Bt.sum(axis=0)
+    u = SBm.sum(axis=ax)
+    R = Sm.sum(axis=ax)
+    h = Bm.sum(axis=ax)
     c1 = 1.0 - 1.0 / a
     c2 = 1.0 - a
 
-    term_G = (St * Q).sum(axis=0)
-    y_T1 = u * P0 + (St * (1.0 - 2.0 * Bt) * P).sum(axis=0)
-    y_T1t = T.sum(axis=0) + (Bt * (Q - 2.0 * T)).sum(axis=0)
+    term_G = (Sm * Q).sum(axis=ax)
+    y_T1 = u * P0 + (Sm * (1.0 - 2.0 * Bm) * P).sum(axis=ax)
+    y_T1t = T.sum(axis=ax) + (Bm * (Q - 2.0 * T)).sum(axis=ax)
     y_Ri = R * P0
-    y_Rj = Q.sum(axis=0)
-    y_D = h * P0 + P.sum(axis=0) - 2.0 * (Bt * P).sum(axis=0)
+    y_Rj = Q.sum(axis=ax)
+    y_D = h * P0 + P.sum(axis=ax) - 2.0 * (Bm * P).sum(axis=ax)
 
     return (
         term_G

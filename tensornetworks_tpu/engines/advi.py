@@ -117,7 +117,9 @@ class AdversarialVariationalInference:
               k_born_steps: int = 1, verbose: bool = True, true_posterior_for_tvd=None,
               use_lr_scheduler: bool = True, gradient_clip_norm: float = 10.0,
               baseline_decay: float = 0.99, optimizer_type: str = "adam",
-              adam_betas=(0.9, 0.999), seed: Optional[int] = None) -> dict:
+              adam_betas=(0.9, 0.999), seed: Optional[int] = None,
+              checkpoint_path: Optional[str] = None,
+              profile_dir: Optional[str] = None) -> dict:
         if self.num_observed_vars > 0 and set(x_observation_dict) != set(self.observed_vars_names):
             raise ValueError("Keys in x_observation_dict must match self.observed_vars_names.")
 
@@ -295,11 +297,14 @@ class AdversarialVariationalInference:
                         best_epoch=best_epoch, best_born=best_bp, best_clf=best_cv,
                         best_probs=best_probs, outs=outs)
 
+        from ..train.profiling import profile_trace
+
         run_jit = jax.jit(run)
         t0 = time.perf_counter()
-        out = run_jit(self.born_params, self.classifier_vars,
-                      jax.random.PRNGKey(self.seed if seed is None else seed))
-        jax.block_until_ready(out["outs"][0])
+        with profile_trace(profile_dir):
+            out = run_jit(self.born_params, self.classifier_vars,
+                          jax.random.PRNGKey(self.seed if seed is None else seed))
+            jax.block_until_ready(out["outs"][0])
         elapsed = time.perf_counter() - t0
 
         loss_d, loss_q, tvd_h, gq, gd = out["outs"]
@@ -323,6 +328,14 @@ class AdversarialVariationalInference:
                 print(f"Restoring best parameters (TVD: {self.best_tvd_:.6f})")
             self.born_params = out["best_born"]
             self.classifier_vars = out["best_clf"]
+        if checkpoint_path:
+            from ..train import save_checkpoint, training_bundle
+
+            save_checkpoint(checkpoint_path, {
+                "born": training_bundle(self.born_params),
+                "classifier": self.classifier_vars,
+                "best_tvd": jnp.asarray(self.best_tvd_),
+            })
         if verbose:
             print(f"Adversarial training: {num_epochs} epochs in {elapsed:.3f}s "
                   f"({history['epochs_per_sec']:.1f} epochs/s)")

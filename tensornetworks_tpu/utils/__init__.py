@@ -1,3 +1,3 @@
-from .plotting import plot_posterior_comparison, plot_training_results
+from .plotting import plot_posterior_comparison, plot_stability_analysis, plot_training_results
 
-__all__ = ["plot_posterior_comparison", "plot_training_results"]
+__all__ = ["plot_posterior_comparison", "plot_stability_analysis", "plot_training_results"]

@@ -44,6 +44,63 @@ def plot_training_results(results_dict: dict, title: str = "Training Results",
     return fig
 
 
+def plot_stability_analysis(history: dict, window: int = 50,
+                            title: str = "Training Stability",
+                            save_path: Optional[str] = None, show: bool = False):
+    """TVD curve with rolling std and loss panels — the reference's bespoke
+    stability figure (``run_sprinkler_adversarial.py:92-146``)."""
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    tvd = np.asarray(history.get("tvd", []), dtype=float)
+    finite = np.isfinite(tvd)
+    panels = 2 + sum(1 for k in ("loss_ksd", "loss_born_machine", "loss_classifier")
+                     if k in history)
+    fig, axes = plt.subplots(panels, 1, figsize=(10, panels * 3), sharex=True)
+    axes = np.atleast_1d(axes)
+    ax = axes[0]
+    ax.plot(np.where(finite, tvd, np.nan), label="TVD")
+    if finite.any():
+        best = np.nanargmin(np.where(finite, tvd, np.nan))
+        ax.axvline(best, color="r", linestyle="--", alpha=0.5,
+                   label=f"best @ {best + 1}")
+    ax.set_ylabel("TVD")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+
+    ax = axes[1]
+    if tvd.size >= window:
+        rolling = np.array([np.nanstd(tvd[max(0, i - window):i + 1])
+                            for i in range(tvd.size)])
+        ax.plot(rolling, label=f"rolling std (w={window})", color="tab:orange")
+    ax.set_ylabel("TVD rolling std")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+
+    i = 2
+    for key in ("loss_ksd", "loss_born_machine", "loss_classifier"):
+        if key in history and i < panels:
+            axes[i].plot(np.asarray(history[key], dtype=float), label=key)
+            axes[i].set_ylabel(key.replace("_", " "))
+            axes[i].legend()
+            axes[i].grid(True, alpha=0.3)
+            i += 1
+    axes[-1].set_xlabel("Epoch")
+    fig.suptitle(title, fontsize=16)
+    fig.tight_layout(rect=[0, 0, 1, 0.96])
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        print(f"Saved plot to {save_path}")
+    if show:
+        plt.show()
+    else:
+        plt.close(fig)
+    return fig
+
+
 def plot_posterior_comparison(true_posterior: dict, learned: dict,
                               title: str = "True vs Learned Posterior",
                               save_path: Optional[str] = None, show: bool = False):

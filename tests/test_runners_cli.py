@@ -60,3 +60,15 @@ def test_scale_experiment_smoke():
     out = run_scale_experiment(num_qubits=5, layers=2, num_epochs=15,
                                objective="ksd", verbose=False)
     assert np.isfinite(out["history"]["loss_ksd"]).all()
+
+
+def test_stability_plot(tmp_path):
+    from tensornetworks_tpu.utils import plot_posterior_comparison, plot_stability_analysis
+
+    history = {"tvd": list(np.linspace(0.5, 0.01, 120)),
+               "loss_ksd": list(np.linspace(10, 0.1, 120))}
+    plot_stability_analysis(history, save_path=str(tmp_path / "stab.png"))
+    assert (tmp_path / "stab.png").exists()
+    plot_posterior_comparison({(0,): 0.3, (1,): 0.7}, {(0,): 0.25, (1,): 0.75},
+                              save_path=str(tmp_path / "bar.png"))
+    assert (tmp_path / "bar.png").exists()

@@ -22,11 +22,14 @@ forward matvec as the gradient, so the backward never differentiates through
 this kernel.
 
 Status: validated against the XLA path in interpret mode
-(tests/test_pallas_stein.py). The image's remote Mosaic compiler currently
-crashes (HTTP 500) on the kernel at any size, so the production matvec is
-the pure-XLA ``ops.stein.stein_matvec`` (whose contractions were given the
-same lane-friendly structure); this kernel is the fusion template for when
-the backend matures.
+(tests/test_pallas_stein.py). Native compilation bisect on this image's
+remote Mosaic build: elementwise/concat/slice-store/fori_loop+dynamic-slice
+kernels all compile, but any in-kernel reshape that changes the LANE
+dimension of a 2D buffer (e.g. ``(2^n, C) -> (128, 2^{n-7}·C)``) crashes the
+compiler (HTTP 500) — and every pass of this kernel needs exactly such a
+relayout. The production matvec therefore stays pure-XLA
+(``ops.stein.stein_matvec``, size-adaptive layout); this kernel is the
+fusion template for a backend with in-kernel relayout support.
 """
 
 from __future__ import annotations

@@ -184,3 +184,55 @@ def test_ksd_loss_clamp():
     # At the true posterior the quadform underflows the 1e-12 clamp:
     # loss = sqrt(1e-12) = 1e-6 (reference ksd_vi.py:133-134 semantics).
     assert abs(float(op.ksd_loss(jnp.asarray(post))) - 1e-6) < 1e-9
+
+
+def test_kron_matvec_rows_matches_columns():
+    # The large-n row layout must agree with the column layout exactly.
+    from tensornetworks_tpu.ops.kron import kron_matvec, kron_matvec_rows
+
+    rng = np.random.default_rng(3)
+    n, C = 10, 13
+    a = float(np.exp(-1.0 / n))
+    A = np.array([[1.0, a], [a, 1.0]])
+    V = jnp.asarray(rng.normal(size=(2**n, C)))
+    y_cols = np.asarray(kron_matvec(V, A, n, group=4))
+    y_rows = np.asarray(kron_matvec_rows(V.T, A, n, group=4)).T
+    np.testing.assert_allclose(y_rows, y_cols, rtol=1e-10, atol=1e-12)
+
+
+def test_stein_matvec_row_layout_large_n():
+    # n >= 18 triggers the row layout; cross-check against a small-group
+    # column-layout evaluation of the same operator.
+    from tensornetworks_tpu.core import get_random_chain_network
+    from tensornetworks_tpu.core.bits import all_bitstrings as ab
+
+    n = 18
+    bn = get_random_chain_network(n + 1, seed=4)
+    t = bn.conditional_joint_table([f"V{i}" for i in range(n)], {f"V{n}": 1})
+    S = jnp.asarray(score_table(t), dtype=jnp.float32)
+    B = jnp.asarray(ab(n), dtype=jnp.float32)
+    q = jnp.asarray(np.random.default_rng(0).random(2**n), dtype=jnp.float32)
+    y_rows = stein_matvec(q, S, B, n, 1.0)  # auto: rows at n>=18
+    # Column-layout evaluation via the Kronecker identity K_p q expansion:
+    from tensornetworks_tpu.ops.kron import kron_matvec
+    from tensornetworks_tpu.ops.hamming import decay_factor
+
+    a = decay_factor(n, 1.0)
+    A = np.array([[1.0, a], [a, 1.0]])
+    SB = S * B
+    V = jnp.concatenate([q[:, None], B * q[:, None], S * q[:, None], SB * q[:, None]], axis=1)
+    Y = kron_matvec(V, A, n)
+    P0, P = Y[:, 0], Y[:, 1:n + 1]
+    Q, T = Y[:, n + 1:2 * n + 1], Y[:, 2 * n + 1:]
+    u, R, h = SB.sum(1), S.sum(1), B.sum(1)
+    c1, c2 = 1 - 1 / a, 1 - a
+    y_cols = ((S * Q).sum(1)
+              - c1 * ((u * P0 + (S * (1 - 2 * B) * P).sum(1))
+                      + (T.sum(1) + (B * (Q - 2 * T)).sum(1)))
+              - c2 * ((R * P0) + Q.sum(1)
+                      - (u * P0 + (S * (1 - 2 * B) * P).sum(1))
+                      - (T.sum(1) + (B * (Q - 2 * T)).sum(1)))
+              + 2 * n * (1 - a) * P0
+              - 2 * (1 / a - a) * (h * P0 + P.sum(1) - 2 * (B * P).sum(1)))
+    np.testing.assert_allclose(np.asarray(y_rows), np.asarray(y_cols),
+                               rtol=2e-4, atol=2e-4 * float(jnp.abs(y_cols).max()))

@@ -99,29 +99,33 @@ def main():
                          gradient_clip_norm=10.0)
     opt_state = opt.init(params)
 
-    def loss_fn(p):
+    # The operator tables pass through the jit boundary as arguments —
+    # closure capture would embed them as (huge) HLO constants.
+    def loss_fn(p, tables):
         q = qbm.probs(p).astype(jnp.float32)
-        return op.ksd_loss(q)
+        return op.ksd_loss_from(q, *tables)
 
-    def step(carry, _):
+    def step(carry, _, tables):
         p, s = carry
-        loss, grads = jax.value_and_grad(loss_fn)(p)
+        loss, grads = jax.value_and_grad(loss_fn)(p, tables)
         updates, s = opt.update(grads, s, p)
         return (optax.apply_updates(p, updates), s), loss
 
     # Epochs run inside one scanned XLA program (exactly how the training
     # engines execute), so the measurement reflects on-device epoch cost, not
     # per-call dispatch latency.
-    def run_epochs(p, s):
-        (p, s), losses = jax.lax.scan(step, (p, s), None, length=TIMED_EPOCHS)
+    def run_epochs(p, s, tables):
+        (p, s), losses = jax.lax.scan(lambda c, x: step(c, x, tables), (p, s),
+                                      None, length=TIMED_EPOCHS)
         return p, s, losses
 
     run_timed = jax.jit(run_epochs)
-    params, opt_state, losses = run_timed(params, opt_state)  # compile + warmup
+    tables = op.args()
+    params, opt_state, losses = run_timed(params, opt_state, tables)  # compile + warmup
     jax.block_until_ready(losses)
 
     t0 = time.perf_counter()
-    params, opt_state, losses = run_timed(params, opt_state)
+    params, opt_state, losses = run_timed(params, opt_state, tables)
     jax.block_until_ready(losses)
     elapsed = time.perf_counter() - t0
     epochs_per_sec = TIMED_EPOCHS / elapsed

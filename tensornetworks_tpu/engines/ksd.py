@@ -72,6 +72,7 @@ def run_ksd_scan(
     min_epochs_before_stop: int = 300,
     key: Optional[jax.Array] = None,
     log_every: int = 0,
+    stein_args: Optional[tuple] = None,
 ):
     """One jitted training program shared by the classical and quantum KSD
     engines. Returns (final_params, best dict, history arrays, stop_epoch)."""
@@ -87,7 +88,8 @@ def run_ksd_scan(
 
         def loss_fn(p):
             q = probs_fn(p, sub)
-            ksd = op.ksd_loss(q)
+            ksd = (op.ksd_loss_from(q, *stein_args) if stein_args is not None
+                   else op.ksd_loss(q))
             ent = -(q * jnp.log(jnp.clip(q, 1e-10, None))).sum()
             loss = ksd if entropy_weight is None else ksd - entropy_weight * ent
             return loss, (ksd, ent)
@@ -222,20 +224,26 @@ class KSDVariationalInference:
         def eval_probs_fn(p):
             return bm.probs(p, x_cond)
 
-        run = jax.jit(
-            lambda p0, k: run_ksd_scan(
+        track = posterior_vec is not None
+
+        def _run(p0, k, tables, post):
+            return run_ksd_scan(
                 probs_fn=probs_fn, eval_probs_fn=eval_probs_fn, params0=p0, op=op,
                 num_epochs=num_epochs, optimizer=optimizer,
-                entropy_weight=entropy_weight, posterior_vec=posterior_vec,
-                early_stopping=posterior_vec is not None, patience=patience, key=k,
+                entropy_weight=entropy_weight, posterior_vec=post,
+                early_stopping=track, patience=patience, key=k,
                 log_every=max(1, num_epochs // 20) if verbose else 0,
+                stein_args=tables,
             )
-        )
+
+        run = jax.jit(_run) if track else jax.jit(lambda p0, k, tables: _run(p0, k, tables, None))
         from ..train.profiling import profile_trace
 
         t0 = time.perf_counter()
         with profile_trace(profile_dir):
-            out = run(self.params, jax.random.PRNGKey(self.seed if seed is None else seed))
+            key0 = jax.random.PRNGKey(self.seed if seed is None else seed)
+            out = (run(self.params, key0, op.args(), posterior_vec) if track
+                   else run(self.params, key0, op.args()))
             jax.block_until_ready(out["loss_ksd"])
         elapsed = time.perf_counter() - t0
 
@@ -362,19 +370,25 @@ class QuantumKSDVariationalInference:
         def eval_probs_fn(p):
             return bm.probs(p, x_cond).astype(self.dtype)
 
-        run = jax.jit(
-            lambda p0, k: run_ksd_scan(
+        track = posterior_vec is not None
+
+        def _run(p0, k, tables, post):
+            return run_ksd_scan(
                 probs_fn=probs_fn, eval_probs_fn=eval_probs_fn, params0=p0, op=op,
                 num_epochs=num_epochs, optimizer=optimizer, entropy_weight=None,
-                posterior_vec=posterior_vec, early_stopping=False, patience=0, key=k,
+                posterior_vec=post, early_stopping=False, patience=0, key=k,
                 log_every=max(1, num_epochs // 20) if verbose else 0,
+                stein_args=tables,
             )
-        )
+
+        run = jax.jit(_run) if track else jax.jit(lambda p0, k, tables: _run(p0, k, tables, None))
         from ..train.profiling import profile_trace
 
         t0 = time.perf_counter()
         with profile_trace(profile_dir):
-            out = run(self.params, jax.random.PRNGKey(self.seed if seed is None else seed))
+            key0 = jax.random.PRNGKey(self.seed if seed is None else seed)
+            out = (run(self.params, key0, op.args(), posterior_vec) if track
+                   else run(self.params, key0, op.args()))
             jax.block_until_ready(out["loss_ksd"])
         elapsed = time.perf_counter() - t0
 

@@ -250,3 +250,24 @@ class SteinOperator:
     def ksd_loss(self, q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
         """sqrt(clamp(qᵀ K_p q, eps)) — reference loss at ``ksd_vi.py:133-134``."""
         return jnp.sqrt(jnp.clip(self.quadform(q), eps, None))
+
+    # -- argument-passing variants ------------------------------------------
+    # Closing over the concrete S/B/gram arrays inside jit embeds them as HLO
+    # constants; at n ≥ 22 that makes the serialized program enormous (the
+    # axon remote compiler rejects it outright). These variants take the
+    # tables as jit ARGUMENTS instead — use `op.args()` at the call site.
+
+    def args(self):
+        """The operator's device tables, to pass through a jit boundary."""
+        return (self.gram,) if self.dense else (self.S, self.B)
+
+    def quadform_from(self, q: jnp.ndarray, *tables) -> jnp.ndarray:
+        if self.dense:
+            (gram,) = tables
+            return jnp.dot(q, gram @ q)
+        S, B = tables
+        return ksd_quadform(q, S, B, self.num_vars, self.length_scale,
+                            self.group, self.compute_dtype)
+
+    def ksd_loss_from(self, q: jnp.ndarray, *tables, eps: float = 1e-12) -> jnp.ndarray:
+        return jnp.sqrt(jnp.clip(self.quadform_from(q, *tables), eps, None))

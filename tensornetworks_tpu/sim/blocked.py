@@ -133,6 +133,21 @@ def _cz_diag(n: int, pairs: List[Tuple[int, int]]) -> Optional[np.ndarray]:
     return sign
 
 
+def _cz_diag_device(n: int, pairs: List[Tuple[int, int]]) -> jnp.ndarray:
+    """CZ-layer sign vector computed ON DEVICE from iota.
+
+    Embedding 2^n-sized numpy constants into the jitted program blows up the
+    serialized HLO (the axon remote compiler rejects >~100MB request bodies
+    at n≥22); computing from iota adds a few cheap vector ops that XLA hoists
+    out of training scans."""
+    idx = jax.lax.iota(jnp.int32, 1 << n)
+    sign = jnp.ones((1 << n,), dtype=jnp.float32)
+    for a, b in pairs:
+        ab = ((idx >> (n - 1 - a)) & 1) * ((idx >> (n - 1 - b)) & 1)
+        sign = sign * (1.0 - 2.0 * ab.astype(jnp.float32))
+    return sign
+
+
 _CNOT4 = np.array(
     [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]], dtype=np.complex64
 )
@@ -170,10 +185,7 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
     perms = [_local_perm_matrix(chain, s, bs) for (s, bs) in blocks] if chain else []
     boundaries = [(s - 1, s) for (s, _) in blocks[1:]]
     ring_cross = bool(chain) and n > 2 and len(blocks) > 1
-    ring_cz_diag = _cz_diag(n, [(n - 1, 0)]) if ring_cross else None
-    cz_diags = [
-        _cz_diag(n, _cz_pairs(n, layer, ansatz_type)) for layer in range(layers)
-    ]
+    cz_pair_lists = [_cz_pairs(n, layer, ansatz_type) for layer in range(layers)]
     h_blocks = (
         [_hadamard_block(bs) for (_, bs) in blocks]
         if ansatz_type in ("hardware_efficient", "all_to_all")
@@ -234,16 +246,15 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
                             blocks[i][0], blocks[i][1], n)
             if ring_cross:
                 # Ring wrap CNOT(n-1, 0) via H₀·CZ(n-1,0)·H₀: a leading-axis
-                # 2x2 matmul, a static diagonal, and the matmul again — all
-                # perfectly tiled, unlike a strided slice/restack of the two
-                # end bits.
+                # 2x2 matmul, an iota-derived diagonal, and the matmul again —
+                # all perfectly tiled, unlike a strided slice/restack of the
+                # two end bits.
                 H = jnp.asarray(_H2, dtype=dtype)
                 state = apply_adjacent_block(state, H, 0, 1, n)
-                state = state * jnp.asarray(ring_cz_diag, dtype=jnp.float32)
+                state = state * _cz_diag_device(n, [(n - 1, 0)])
                 state = apply_adjacent_block(state, H, 0, 1, n)
-            d = cz_diags[layer]
-            if d is not None:
-                state = state * jnp.asarray(d, dtype=jnp.float32)
+            if cz_pair_lists[layer]:
+                state = state * _cz_diag_device(n, cz_pair_lists[layer])
         return state
 
     return state_fn

@@ -82,8 +82,6 @@ class AmortizedKSD:
         optimizer = make_optimizer("adam", lr, num_epochs,
                                    gradient_clip_norm=gradient_clip_norm)
 
-        mv = jax.vmap(lambda q, s: stein_matvec(q, s, B, n, self.length_scale),
-                      in_axes=(0, 0))
         is_classical = isinstance(bm, ClassicalBornMachine)
 
         def batch_probs(params, rng=None, train=False):
@@ -91,28 +89,33 @@ class AmortizedKSD:
                 return bm.probs(params, X, train=train, dropout_rng=rng)
             return jax.vmap(lambda x: bm.probs(params, x))(X)
 
-        def loss_fn(params, rng):
+        # S / posts / B pass through the jit boundary as arguments (closure
+        # capture would embed them as HLO constants — fatal at large n).
+        def loss_fn(params, rng, S_, B_):
             q = batch_probs(params, rng, train=True)  # (X, 2^n)
             q = q.astype(self.dtype)
-            y = mv(q, S)
+            y = jax.vmap(lambda qq, ss: stein_matvec(qq, ss, B_, n, self.length_scale),
+                         in_axes=(0, 0))(q, S_)
             ksd = jnp.sqrt(jnp.clip(jnp.einsum("xi,xi->x", q, y), 1e-12, None))
             ent = -(q * jnp.log(jnp.clip(q, 1e-10, None))).sum(-1)
             return (ksd - entropy_weight * ent).mean(), q
 
-        def epoch(carry, _):
+        def epoch(carry, _, S_, B_, posts_):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
-            (loss, q), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, sub)
+            (loss, q), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, sub, S_, B_)
             ok = jnp.isfinite(loss)
             params, opt_state = guarded_update(optimizer, grads, opt_state, params, ok)
             q_eval = batch_probs(params).astype(self.dtype)
-            tvd = 0.5 * jnp.abs(q_eval - posts).sum(-1)
+            tvd = 0.5 * jnp.abs(q_eval - posts_).sum(-1)
             return (params, opt_state, key), (loss, tvd.mean(), global_norm(grads))
 
-        run = jax.jit(lambda p, k: jax.lax.scan(
-            epoch, (p, optimizer.init(p), k), None, length=num_epochs))
+        run = jax.jit(lambda p, k, S_, B_, posts_: jax.lax.scan(
+            lambda c, x: epoch(c, x, S_, B_, posts_),
+            (p, optimizer.init(p), k), None, length=num_epochs))
         (self.params, _, _), (losses, tvds, gnorms) = run(
-            self.params, jax.random.PRNGKey(seed))
+            self.params, jax.random.PRNGKey(seed), S, B, posts)
         jax.block_until_ready(losses)
         history = history_to_numpy({"loss": losses, "mean_tvd": tvds,
                                     "grad_norm": gnorms})

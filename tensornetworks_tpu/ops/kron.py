@@ -89,16 +89,23 @@ def kron_matvec(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 7,
     dtype = v.dtype
     io_dtype = compute_dtype or dtype
     out = v.astype(io_dtype)
-    s = 0
-    while s < num_vars:
-        g = min(group, num_vars - s)
+    for s, g in _group_plan(num_vars, group):
         M = jnp.asarray(kron_power_np(A, g), dtype=io_dtype)
         out = apply_adjacent_block(out, M, s, g, num_vars,
                                    accumulate_dtype=dtype if compute_dtype else None)
         if compute_dtype is not None:
             out = out.astype(io_dtype)
-        s += g
     return out.astype(dtype)
+
+
+def _group_plan(num_vars: int, group: int):
+    """Remainder-FIRST grouping: the final group stays full-width so the
+    last pass's lane-axis contraction keeps >= 2^group lanes (a trailing
+    1-2 bit group would reshape to a 2-lane tensor that TPU pads 64x)."""
+    r = num_vars % group
+    plan = [(0, r)] if r else []
+    plan += [(s, group) for s in range(r, num_vars, group)]
+    return plan
 
 
 def kron_matvec_rows(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 7) -> jnp.ndarray:
@@ -115,9 +122,7 @@ def kron_matvec_rows(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 
     dtype = v.dtype
     c = v.shape[0]
     out = v
-    s = 0
-    while s < num_vars:
-        g = min(group, num_vars - s)
+    for s, g in _group_plan(num_vars, group):
         M = jnp.asarray(kron_power_np(A, g), dtype=dtype)
         pre = c << s
         blk = 1 << g
@@ -129,7 +134,6 @@ def kron_matvec_rows(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 
             out = jnp.einsum("ij,ajb->aib", M, out.reshape(pre, blk, post),
                              preferred_element_type=dtype)
         out = out.reshape(c, -1)
-        s += g
     return out
 
 

@@ -88,8 +88,15 @@ def kron_matvec(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 7,
         return v
     dtype = v.dtype
     io_dtype = compute_dtype or dtype
+    # Multi-column inputs keep the remainder group LAST (the kron(Mᵀ, I_C)
+    # right-multiply handles a small tail with full lanes); single-column
+    # inputs put the remainder FIRST — their tail would hit the (pre, 2^r)
+    # 2D path whose tiny lane axis TPU pads up to 64x.
+    multi = v.ndim == 2 and v.shape[1] > 1
+    plan = (_group_plan_tail(num_vars, group) if multi
+            else _group_plan_head(num_vars, group))
     out = v.astype(io_dtype)
-    for s, g in _group_plan(num_vars, group):
+    for s, g in plan:
         M = jnp.asarray(kron_power_np(A, g), dtype=io_dtype)
         out = apply_adjacent_block(out, M, s, g, num_vars,
                                    accumulate_dtype=dtype if compute_dtype else None)
@@ -98,13 +105,22 @@ def kron_matvec(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 7,
     return out.astype(dtype)
 
 
-def _group_plan(num_vars: int, group: int):
-    """Remainder-FIRST grouping: the final group stays full-width so the
-    last pass's lane-axis contraction keeps >= 2^group lanes (a trailing
-    1-2 bit group would reshape to a 2-lane tensor that TPU pads 64x)."""
+def _group_plan_head(num_vars: int, group: int):
+    """Remainder-first grouping: the final group stays full-width."""
     r = num_vars % group
     plan = [(0, r)] if r else []
     plan += [(s, group) for s in range(r, num_vars, group)]
+    return plan
+
+
+def _group_plan_tail(num_vars: int, group: int):
+    """Sequential grouping: any remainder lands in the final (tail) group."""
+    plan = []
+    s = 0
+    while s < num_vars:
+        g = min(group, num_vars - s)
+        plan.append((s, g))
+        s += g
     return plan
 
 
@@ -122,7 +138,7 @@ def kron_matvec_rows(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 
     dtype = v.dtype
     c = v.shape[0]
     out = v
-    for s, g in _group_plan(num_vars, group):
+    for s, g in _group_plan_head(num_vars, group):
         M = jnp.asarray(kron_power_np(A, g), dtype=dtype)
         pre = c << s
         blk = 1 << g

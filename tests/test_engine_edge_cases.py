@@ -63,3 +63,42 @@ def test_zero_observed_vars_targets_prior():
                 true_posterior_for_tvd=prior)
     assert m.best_tvd_ < 0.2
     assert h["tvd"][-1] < h["tvd"][0] * 0.5
+
+
+def test_no_large_embedded_constants():
+    # Regression guard for the n>=22 HLO-size blowup: with tables passed as
+    # jit arguments, the traced program must not embed multi-MB constants.
+    import jax
+    import jax.numpy as jnp
+    from tensornetworks_tpu.core import get_random_chain_network
+    from tensornetworks_tpu.models import QuantumBornMachine
+    from tensornetworks_tpu.ops import SteinOperator, score_table
+
+    n = 12
+    bnet = get_random_chain_network(n + 1, seed=0)
+    t = bnet.conditional_joint_table([f"V{i}" for i in range(n)], {f"V{n}": 1})
+    op = SteinOperator(score_table(t), n, dense=False)
+    qbm = QuantumBornMachine(n, ansatz_layers=2)
+    params = qbm.init(jax.random.PRNGKey(0))
+
+    def loss(p, tables):
+        return op.ksd_loss_from(qbm.probs(p).astype(jnp.float32), *tables)
+
+    def const_bytes_for(nn):
+        bnet2 = get_random_chain_network(nn + 1, seed=0)
+        t2 = bnet2.conditional_joint_table([f"V{i}" for i in range(nn)], {f"V{nn}": 1})
+        op2 = SteinOperator(score_table(t2), nn, dense=False)
+        qbm2 = QuantumBornMachine(nn, ansatz_layers=2)
+        p2 = qbm2.init(jax.random.PRNGKey(0))
+
+        def loss2(p, tables):
+            return op2.ksd_loss_from(qbm2.probs(p).astype(jnp.float32), *tables)
+
+        closed = jax.make_jaxpr(loss2)(p2, op2.args())
+        return sum(getattr(np.asarray(c), "nbytes", 0) for c in closed.consts)
+
+    # Only fixed-size constants remain (256x256 block matrices, 128x128 kron
+    # powers) — a few MB, independent of n.
+    b10, b12 = const_bytes_for(10), const_bytes_for(12)
+    assert b12 < 8_000_000, f"{b12} bytes of embedded constants"
+    assert b12 <= b10 * 1.5, f"constants scale with n: {b10} -> {b12}"

@@ -38,7 +38,8 @@ from ..core.bayes_net import BayesianNetwork
 from ..core.bits import generate_all_binary_outcomes, jnp_index_to_bits
 from ..models.born_classical import ClassicalBornMachine
 from ..models.classifier import BinaryClassifierMLP
-from .common import global_norm, guarded_update, history_to_numpy, make_optimizer, tree_select
+from .common import (force_fetch, global_norm, guarded_update, history_to_numpy,
+                     make_optimizer, tree_select)
 from .ksd import _posterior_vec_from
 
 
@@ -304,7 +305,7 @@ class AdversarialVariationalInference:
         with profile_trace(profile_dir):
             out = run_jit(self.born_params, self.classifier_vars,
                           jax.random.PRNGKey(self.seed if seed is None else seed))
-            jax.block_until_ready(out["outs"][0])
+            force_fetch(out["outs"][0])
         elapsed = time.perf_counter() - t0
 
         loss_d, loss_q, tvd_h, gq, gd = out["outs"]

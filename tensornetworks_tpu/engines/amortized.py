@@ -27,7 +27,8 @@ from ..core.bits import all_bitstrings
 from ..models.born_classical import ClassicalBornMachine
 from ..models.born_quantum import QuantumBornMachine
 from ..ops.stein import score_table, stein_gram_dense, stein_matvec
-from .common import global_norm, guarded_update, history_to_numpy, make_optimizer
+from .common import (force_fetch, global_norm, guarded_update, history_to_numpy,
+                     make_optimizer)
 
 
 class AmortizedKSD:
@@ -116,7 +117,7 @@ class AmortizedKSD:
             (p, optimizer.init(p), k), None, length=num_epochs))
         (self.params, _, _), (losses, tvds, gnorms) = run(
             self.params, jax.random.PRNGKey(seed), S, B, posts)
-        jax.block_until_ready(losses)
+        force_fetch(losses)
         history = history_to_numpy({"loss": losses, "mean_tvd": tvds,
                                     "grad_norm": gnorms})
         if verbose:
@@ -181,5 +182,5 @@ def train_multi_seed(bayesian_network: BayesianNetwork, latent_vars_names, obser
     run = jax.jit(lambda p: jax.lax.scan(epoch, (p, optimizer.init(p)), None,
                                          length=num_epochs))
     (params, _), (losses, tvds) = run(params0)
-    jax.block_until_ready(losses)
+    force_fetch(losses)
     return params, np.asarray(tvds), np.asarray(losses)

@@ -88,6 +88,14 @@ def tree_select(pred, on_true, on_false):
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
+def force_fetch(x) -> None:
+    """Materialize a device value on the host. Use this (not
+    ``jax.block_until_ready``) to stop timing clocks: the tunnel-backed axon
+    runtime can report buffers ready before the computation completes, and
+    only an actual value fetch is reliable."""
+    np.asarray(x)
+
+
 def history_to_numpy(history: dict, length: Optional[int] = None) -> dict:
     """Device metric arrays -> host lists, truncated to ``length`` epochs
     (used to mimic the reference's early-stop-shortened histories)."""

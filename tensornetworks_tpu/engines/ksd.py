@@ -42,7 +42,8 @@ from ..core.metrics import calculate_tvd
 from ..models.born_classical import ClassicalBornMachine
 from ..models.born_quantum import QuantumBornMachine
 from ..ops.stein import SteinOperator, score_table
-from .common import global_norm, guarded_update, history_to_numpy, make_optimizer, tree_select
+from .common import (force_fetch, global_norm, guarded_update, history_to_numpy,
+                     make_optimizer, tree_select)
 
 
 def _posterior_vec_from(true_posterior, num_latent_vars, dtype):
@@ -244,7 +245,7 @@ class KSDVariationalInference:
             key0 = jax.random.PRNGKey(self.seed if seed is None else seed)
             out = (run(self.params, key0, op.args(), posterior_vec) if track
                    else run(self.params, key0, op.args()))
-            jax.block_until_ready(out["loss_ksd"])
+            force_fetch(out["loss_ksd"])
         elapsed = time.perf_counter() - t0
 
         stopped = np.asarray(out["stopped"])
@@ -389,7 +390,7 @@ class QuantumKSDVariationalInference:
             key0 = jax.random.PRNGKey(self.seed if seed is None else seed)
             out = (run(self.params, key0, op.args(), posterior_vec) if track
                    else run(self.params, key0, op.args()))
-            jax.block_until_ready(out["loss_ksd"])
+            force_fetch(out["loss_ksd"])
         elapsed = time.perf_counter() - t0
 
         self.params = out["params"]

@@ -100,12 +100,12 @@ def run_sampling_throughput(num_qubits: int = 20, layers: int = 2,
 
     key = jax.random.PRNGKey(1)
     s = draw(key, params)
-    jax.block_until_ready(s)
+    float(s[0, 0])
     t0 = time.perf_counter()
     reps = 5
     for i in range(reps):
         s = draw(jax.random.fold_in(key, i), params)
-    jax.block_until_ready(s)
+    float(s[0, 0])  # value fetch, not block_until_ready (axon timing quirk)
     dt = (time.perf_counter() - t0) / reps
     rate = num_samples / dt
     if verbose:

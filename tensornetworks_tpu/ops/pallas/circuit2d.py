@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: whole-circuit forward on the 2D super-block state.
+
+Uses the ``sim.blocked2d`` formulation — the state is a FIXED-shape (R, C)
+matrix and every circuit element is a dot or an elementwise sign multiply —
+which is exactly the op set this image's Mosaic compiler accepts (no
+reshapes, no gathers; see the bisect notes in ``pallas/stein_matvec.py``).
+
+Complex arithmetic runs on (re, im) f32 planes; a complex matmul is four real
+MXU dots. The per-layer rotation operators arrive as kernel inputs (built by
+XLA from θ with batched Kronecker folds — cheap); CZ sign masks are derived
+in-kernel from ``broadcasted_iota``. One kernel evaluates the entire circuit
+with the state resident in VMEM.
+
+Scope: forward only (sampling / inference / custom-VJP forward reuse). The
+hardware_efficient and basic families are supported; all_to_all reduces to
+rotations + one mask per layer and also works.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...sim.blocked import _chain_gates, _cz_pairs
+from ...sim.blocked2d import _h_wall, _kron_h, _perm_matrix
+from ...sim.gates import rot_zy_batched, rot_zyx_batched, batched_kron
+
+
+def _sign_mask_expr(rb: int, cb: int, pairs: List[Tuple[int, int]]):
+    """In-kernel (R, C) ±1 mask from broadcasted_iota for a set of CZ pairs."""
+    R, C = 1 << rb, 1 << cb
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    sign = jnp.ones((R, C), dtype=jnp.float32)
+    for a, b in pairs:
+        av = ((row_ids >> (rb - 1 - a)) & 1) if a < rb else ((col_ids >> (cb - 1 - (a - rb))) & 1)
+        bv = ((row_ids >> (rb - 1 - b)) & 1) if b < rb else ((col_ids >> (cb - 1 - (b - rb))) & 1)
+        sign = sign * (1.0 - 2.0 * (av * bv).astype(jnp.float32))
+    return sign
+
+
+def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
+                                interpret: bool = False):
+    """probs(params) -> (2^n,) with the whole circuit as one Pallas kernel."""
+    n = num_wires
+    rb = (n + 1) // 2
+    cb = n - rb
+    R, C = 1 << rb, 1 << cb
+    per_qubit = 3 if ansatz_type in ("hardware_efficient", "all_to_all") else 2
+    has_chain = ansatz_type in ("hardware_efficient", "basic")
+    chain = _chain_gates(n, ansatz_type) if has_chain else []
+    row_chain = [(c, t) for c, t in chain if c < rb and t < rb]
+    col_chain = [(c - rb, t - rb) for c, t in chain if c >= rb and t >= rb]
+    boundary = [(c, t) for c, t in chain
+                if (c < rb) != (t < rb) and not (c == n - 1 and t == 0)]
+    ring = bool(chain) and n > 2
+    has_wall = ansatz_type in ("hardware_efficient", "all_to_all")
+
+    P_row = _perm_matrix(row_chain, rb)
+    P_col = _perm_matrix(col_chain, cb)
+    # All static real operators stack into one bank per side.
+    row_bank = np.stack([
+        np.real(_h_wall(rb)).astype(np.float32),
+        np.real(P_row).astype(np.float32) if P_row is not None else np.eye(R, dtype=np.float32),
+        np.real(_kron_h(rb, 0)).astype(np.float32),
+    ])  # (3, R, R): wall, perm, H0
+    col_bank = np.stack([
+        np.real(_h_wall(cb)).astype(np.float32),
+        np.real(P_col).astype(np.float32) if P_col is not None else np.eye(C, dtype=np.float32),
+        np.real(_kron_h(cb, 0)).astype(np.float32),
+    ])  # (3, C, C)
+    cz_layer_pairs = [_cz_pairs(n, layer, ansatz_type) for layer in range(layers)]
+
+    def kernel(mr_re_ref, mr_im_ref, mc_re_ref, mc_im_ref, rb_ref, cb_ref,
+               probs_ref):
+        f32 = jnp.float32
+
+        def cdot_left(a_re, a_im, x_re, x_im):
+            yr = (jnp.dot(a_re, x_re, preferred_element_type=f32)
+                  - jnp.dot(a_im, x_im, preferred_element_type=f32))
+            yi = (jnp.dot(a_re, x_im, preferred_element_type=f32)
+                  + jnp.dot(a_im, x_re, preferred_element_type=f32))
+            return yr, yi
+
+        def rdot_right(x_re, x_im, b):  # X @ Bᵀ with real B
+            return (jnp.dot(x_re, b.T, preferred_element_type=f32),
+                    jnp.dot(x_im, b.T, preferred_element_type=f32))
+
+        def rdot_left(b, x_re, x_im):  # real B @ X
+            return (jnp.dot(b, x_re, preferred_element_type=f32),
+                    jnp.dot(b, x_im, preferred_element_type=f32))
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+        x_re = jnp.where((row_ids + col_ids) == 0, 1.0, 0.0).astype(f32)
+        x_im = jnp.zeros((R, C), dtype=f32)
+        if has_wall:
+            x_re, x_im = rdot_left(rb_ref[0], x_re, x_im)
+            x_re, x_im = rdot_right(x_re, x_im, cb_ref[0])
+        for layer in range(layers):
+            mr_re = mr_re_ref[layer]
+            mr_im = mr_im_ref[layer]
+            x_re, x_im = cdot_left(mr_re, mr_im, x_re, x_im)
+            mc_re = mc_re_ref[layer]
+            mc_im = mc_im_ref[layer]
+            # X @ Mcᵀ (complex): (Xr + iXi)(Mr - ... careful: (X @ Mᵀ):
+            yr = (jnp.dot(x_re, mc_re.T, preferred_element_type=f32)
+                  - jnp.dot(x_im, mc_im.T, preferred_element_type=f32))
+            yi = (jnp.dot(x_re, mc_im.T, preferred_element_type=f32)
+                  + jnp.dot(x_im, mc_re.T, preferred_element_type=f32))
+            x_re, x_im = yr, yi
+            if has_chain:
+                x_re, x_im = rdot_left(rb_ref[1], x_re, x_im)  # row perm
+                if boundary:
+                    x_re, x_im = rdot_right(x_re, x_im, cb_ref[2])
+                    s = _sign_mask_expr(rb, cb, boundary)
+                    x_re, x_im = x_re * s, x_im * s
+                    x_re, x_im = rdot_right(x_re, x_im, cb_ref[2])
+                x_re, x_im = rdot_right(x_re, x_im, cb_ref[1])  # col perm
+                if ring:
+                    x_re, x_im = rdot_left(rb_ref[2], x_re, x_im)
+                    s = _sign_mask_expr(rb, cb, [(n - 1, 0)])
+                    x_re, x_im = x_re * s, x_im * s
+                    x_re, x_im = rdot_left(rb_ref[2], x_re, x_im)
+            if cz_layer_pairs[layer]:
+                s = _sign_mask_expr(rb, cb, cz_layer_pairs[layer])
+                x_re, x_im = x_re * s, x_im * s
+        probs_ref[:] = x_re * x_re + x_im * x_im
+
+    # NOTE: the row-chain permutation is NOT folded into the rotation matrix
+    # here (unlike sim.blocked2d) — it is applied as its own matmul from the
+    # static bank, so the op order is rot, perm_row, boundary, perm_col, ring.
+
+    def probs_fn(params: jnp.ndarray) -> jnp.ndarray:
+        angles = params.reshape(layers, n, per_qubit)
+        if per_qubit == 3:
+            U = rot_zyx_batched(angles[..., 0], angles[..., 1], angles[..., 2])
+        else:
+            U = rot_zy_batched(angles[..., 0], angles[..., 1])
+        U = U.astype(jnp.complex64)
+
+        def fold(lo, hi):
+            M = U[:, lo]
+            for q in range(lo + 1, hi):
+                M = batched_kron(M, U[:, q])
+            return M
+
+        Mr = fold(0, rb)
+        Mc = fold(rb, n)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((R, C), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(jnp.real(Mr).astype(jnp.float32), jnp.imag(Mr).astype(jnp.float32),
+          jnp.real(Mc).astype(jnp.float32), jnp.imag(Mc).astype(jnp.float32),
+          jnp.asarray(row_bank), jnp.asarray(col_bank))
+        return out.reshape(-1)
+
+    return probs_fn

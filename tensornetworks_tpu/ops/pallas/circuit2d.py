@@ -136,7 +136,200 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
     # here (unlike sim.blocked2d) — it is applied as its own matmul from the
     # static bank, so the op order is rot, perm_row, boundary, perm_col, ring.
 
+    def fwd_kernel(mr_re_ref, mr_im_ref, mc_re_ref, mc_im_ref, rb_ref, cb_ref,
+                   probs_ref, xr_ref, xi_ref):
+        """Forward that also outputs the final state planes (bwd residual)."""
+        f32 = jnp.float32
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+        x_re = jnp.where((row_ids + col_ids) == 0, 1.0, 0.0).astype(f32)
+        x_im = jnp.zeros((R, C), dtype=f32)
+        if has_wall:
+            x_re = jnp.dot(rb_ref[0], x_re, preferred_element_type=f32)
+            x_im = jnp.dot(rb_ref[0], x_im, preferred_element_type=f32)
+            x_re = jnp.dot(x_re, cb_ref[0].T, preferred_element_type=f32)
+            x_im = jnp.dot(x_im, cb_ref[0].T, preferred_element_type=f32)
+        for layer in range(layers):
+            x_re, x_im = _apply_layer(layer, x_re, x_im,
+                                      mr_re_ref[layer], mr_im_ref[layer],
+                                      mc_re_ref[layer], mc_im_ref[layer],
+                                      rb_ref, cb_ref)
+        probs_ref[:] = x_re * x_re + x_im * x_im
+        xr_ref[:] = x_re
+        xi_ref[:] = x_im
+
+    def _apply_layer(layer, x_re, x_im, mr_re, mr_im, mc_re, mc_im, rb_ref, cb_ref):
+        f32 = jnp.float32
+        yr = (jnp.dot(mr_re, x_re, preferred_element_type=f32)
+              - jnp.dot(mr_im, x_im, preferred_element_type=f32))
+        yi = (jnp.dot(mr_re, x_im, preferred_element_type=f32)
+              + jnp.dot(mr_im, x_re, preferred_element_type=f32))
+        x_re, x_im = yr, yi
+        yr = (jnp.dot(x_re, mc_re.T, preferred_element_type=f32)
+              - jnp.dot(x_im, mc_im.T, preferred_element_type=f32))
+        yi = (jnp.dot(x_re, mc_im.T, preferred_element_type=f32)
+              + jnp.dot(x_im, mc_re.T, preferred_element_type=f32))
+        x_re, x_im = yr, yi
+        if has_chain:
+            x_re = jnp.dot(rb_ref[1], x_re, preferred_element_type=f32)
+            x_im = jnp.dot(rb_ref[1], x_im, preferred_element_type=f32)
+            if boundary:
+                x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32)
+                x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32)
+                s = _sign_mask_expr(rb, cb, boundary)
+                x_re, x_im = x_re * s, x_im * s
+                x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32)
+                x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32)
+            x_re = jnp.dot(x_re, cb_ref[1].T, preferred_element_type=f32)
+            x_im = jnp.dot(x_im, cb_ref[1].T, preferred_element_type=f32)
+            if ring:
+                x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32)
+                x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32)
+                s = _sign_mask_expr(rb, cb, [(n - 1, 0)])
+                x_re, x_im = x_re * s, x_im * s
+                x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32)
+                x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32)
+        if cz_layer_pairs[layer]:
+            s = _sign_mask_expr(rb, cb, cz_layer_pairs[layer])
+            x_re, x_im = x_re * s, x_im * s
+        return x_re, x_im
+
+    def bwd_kernel(mr_re_ref, mr_im_ref, mc_re_ref, mc_im_ref, rb_ref, cb_ref,
+                   xr_ref, xi_ref, g_ref,
+                   dmr_re_ref, dmr_im_ref, dmc_re_ref, dmc_im_ref):
+        """Adjoint sweep: reverse the circuit, pulling the state back with
+        inverse (unitary-transpose) ops and the cotangent with transposed
+        ops, emitting per-layer rotation-matrix gradients."""
+        f32 = jnp.float32
+        x_re, x_im = xr_ref[:], xi_ref[:]
+        g = g_ref[:]
+        l_re, l_im = 2.0 * g * x_re, 2.0 * g * x_im
+
+        for layer in range(layers - 1, -1, -1):
+            if cz_layer_pairs[layer]:
+                s = _sign_mask_expr(rb, cb, cz_layer_pairs[layer])
+                x_re, x_im = x_re * s, x_im * s
+                l_re, l_im = l_re * s, l_im * s
+            if has_chain:
+                if ring:
+                    s = _sign_mask_expr(rb, cb, [(n - 1, 0)])
+                    # undo: H (symmetric orthogonal), mask, H
+                    x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32)
+                    x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32)
+                    l_re = jnp.dot(rb_ref[2], l_re, preferred_element_type=f32)
+                    l_im = jnp.dot(rb_ref[2], l_im, preferred_element_type=f32)
+                    x_re, x_im = x_re * s, x_im * s
+                    l_re, l_im = l_re * s, l_im * s
+                    x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32)
+                    x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32)
+                    l_re = jnp.dot(rb_ref[2], l_re, preferred_element_type=f32)
+                    l_im = jnp.dot(rb_ref[2], l_im, preferred_element_type=f32)
+                # undo col perm: forward was X @ Pᵀ -> inverse X @ P;
+                # cotangent of (X @ Pᵀ) pulls back as λ @ P.
+                x_re = jnp.dot(x_re, cb_ref[1], preferred_element_type=f32)
+                x_im = jnp.dot(x_im, cb_ref[1], preferred_element_type=f32)
+                l_re = jnp.dot(l_re, cb_ref[1], preferred_element_type=f32)
+                l_im = jnp.dot(l_im, cb_ref[1], preferred_element_type=f32)
+                if boundary:
+                    s = _sign_mask_expr(rb, cb, boundary)
+                    x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32)
+                    x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32)
+                    l_re = jnp.dot(l_re, cb_ref[2], preferred_element_type=f32)
+                    l_im = jnp.dot(l_im, cb_ref[2], preferred_element_type=f32)
+                    x_re, x_im = x_re * s, x_im * s
+                    l_re, l_im = l_re * s, l_im * s
+                    x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32)
+                    x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32)
+                    l_re = jnp.dot(l_re, cb_ref[2], preferred_element_type=f32)
+                    l_im = jnp.dot(l_im, cb_ref[2], preferred_element_type=f32)
+                # undo row perm: forward P @ X -> inverse Pᵀ @ X; λ -> Pᵀ @ λ.
+                x_re = jnp.dot(rb_ref[1].T, x_re, preferred_element_type=f32)
+                x_im = jnp.dot(rb_ref[1].T, x_im, preferred_element_type=f32)
+                l_re = jnp.dot(rb_ref[1].T, l_re, preferred_element_type=f32)
+                l_im = jnp.dot(rb_ref[1].T, l_im, preferred_element_type=f32)
+            # ---- col rotation: forward X_after = X_before @ Mcᵀ (complex).
+            mc_re, mc_im = mc_re_ref[layer], mc_im_ref[layer]
+            # X_before = X_after @ conj(Mc)  (unitary inverse)
+            xb_re = (jnp.dot(x_re, mc_re, preferred_element_type=f32)
+                     + jnp.dot(x_im, mc_im, preferred_element_type=f32))
+            xb_im = (-jnp.dot(x_re, mc_im, preferred_element_type=f32)
+                     + jnp.dot(x_im, mc_re, preferred_element_type=f32))
+            # grads: yr = xr@mc_reᵀ - xi@mc_imᵀ ; yi = xr@mc_imᵀ + xi@mc_reᵀ
+            dmc_re_ref[layer] = (jnp.dot(l_re.T, xb_re, preferred_element_type=f32)
+                                 + jnp.dot(l_im.T, xb_im, preferred_element_type=f32))
+            dmc_im_ref[layer] = (-jnp.dot(l_re.T, xb_im, preferred_element_type=f32)
+                                 + jnp.dot(l_im.T, xb_re, preferred_element_type=f32))
+            # λ_before = pullback through right-mult
+            lb_re = (jnp.dot(l_re, mc_re, preferred_element_type=f32)
+                     + jnp.dot(l_im, mc_im, preferred_element_type=f32))
+            lb_im = (-jnp.dot(l_re, mc_im, preferred_element_type=f32)
+                     + jnp.dot(l_im, mc_re, preferred_element_type=f32))
+            x_re, x_im, l_re, l_im = xb_re, xb_im, lb_re, lb_im
+            # ---- row rotation: forward X_after = Mr @ X_before (complex).
+            mr_re, mr_im = mr_re_ref[layer], mr_im_ref[layer]
+            xb_re = (jnp.dot(mr_re.T, x_re, preferred_element_type=f32)
+                     + jnp.dot(mr_im.T, x_im, preferred_element_type=f32))
+            xb_im = (jnp.dot(mr_re.T, x_im, preferred_element_type=f32)
+                     - jnp.dot(mr_im.T, x_re, preferred_element_type=f32))
+            dmr_re_ref[layer] = (jnp.dot(l_re, xb_re.T, preferred_element_type=f32)
+                                 + jnp.dot(l_im, xb_im.T, preferred_element_type=f32))
+            dmr_im_ref[layer] = (-jnp.dot(l_re, xb_im.T, preferred_element_type=f32)
+                                 + jnp.dot(l_im, xb_re.T, preferred_element_type=f32))
+            lb_re = (jnp.dot(mr_re.T, l_re, preferred_element_type=f32)
+                     + jnp.dot(mr_im.T, l_im, preferred_element_type=f32))
+            lb_im = (jnp.dot(mr_re.T, l_im, preferred_element_type=f32)
+                     - jnp.dot(mr_im.T, l_re, preferred_element_type=f32))
+            x_re, x_im, l_re, l_im = xb_re, xb_im, lb_re, lb_im
+
+    row_bank_j = jnp.asarray(row_bank)
+    col_bank_j = jnp.asarray(col_bank)
+
+    @jax.custom_vjp
+    def circuit_planes(mr_re, mr_im, mc_re, mc_im):
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((R, C), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_interp[0],
+        )(mr_re, mr_im, mc_re, mc_im, row_bank_j, col_bank_j)
+        return out
+
+    def circuit_planes_fwd(mr_re, mr_im, mc_re, mc_im):
+        probs, xr, xi = pl.pallas_call(
+            fwd_kernel,
+            out_shape=(jax.ShapeDtypeStruct((R, C), jnp.float32),
+                       jax.ShapeDtypeStruct((R, C), jnp.float32),
+                       jax.ShapeDtypeStruct((R, C), jnp.float32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_interp[0],
+        )(mr_re, mr_im, mc_re, mc_im, row_bank_j, col_bank_j)
+        return probs, (mr_re, mr_im, mc_re, mc_im, xr, xi)
+
+    def circuit_planes_bwd(res, g):
+        mr_re, mr_im, mc_re, mc_im, xr, xi = res
+        dmr_re, dmr_im, dmc_re, dmc_im = pl.pallas_call(
+            bwd_kernel,
+            out_shape=(jax.ShapeDtypeStruct((layers, R, R), jnp.float32),
+                       jax.ShapeDtypeStruct((layers, R, R), jnp.float32),
+                       jax.ShapeDtypeStruct((layers, C, C), jnp.float32),
+                       jax.ShapeDtypeStruct((layers, C, C), jnp.float32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 4,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=_interp[0],
+        )(mr_re, mr_im, mc_re, mc_im, row_bank_j, col_bank_j, xr, xi, g)
+        return dmr_re, dmr_im, dmc_re, dmc_im
+
+    _interp = [interpret]
+    circuit_planes.defvjp(circuit_planes_fwd, circuit_planes_bwd)
+
     def probs_fn(params: jnp.ndarray) -> jnp.ndarray:
+        """Differentiable: the Pallas forward feeds a Pallas adjoint backward
+        via custom VJP; θ → rotation-matrix construction stays in XLA."""
         angles = params.reshape(layers, n, per_qubit)
         if per_qubit == 3:
             U = rot_zyx_batched(angles[..., 0], angles[..., 1], angles[..., 2])
@@ -152,18 +345,9 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
 
         Mr = fold(0, rb)
         Mc = fold(rb, n)
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((R, C), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
-            ),
-            interpret=interpret,
-        )(jnp.real(Mr).astype(jnp.float32), jnp.imag(Mr).astype(jnp.float32),
-          jnp.real(Mc).astype(jnp.float32), jnp.imag(Mc).astype(jnp.float32),
-          jnp.asarray(row_bank), jnp.asarray(col_bank))
+        out = circuit_planes(
+            jnp.real(Mr).astype(jnp.float32), jnp.imag(Mr).astype(jnp.float32),
+            jnp.real(Mc).astype(jnp.float32), jnp.imag(Mc).astype(jnp.float32))
         return out.reshape(-1)
 
     return probs_fn

@@ -92,8 +92,17 @@ def main():
     S = score_table(t)
     op = SteinOperator(S, n, dense=False)
 
-    qbm = QuantumBornMachine(n, ansatz_layers=LAYERS, ansatz_type="hardware_efficient",
-                             init_method="small_random")
+    # Prefer the fused Pallas circuit kernels; fall back to the pure-XLA
+    # blocked executor if the backend rejects them.
+    try:
+        qbm = QuantumBornMachine(n, ansatz_layers=LAYERS,
+                                 ansatz_type="hardware_efficient",
+                                 init_method="small_random", backend="pallas2d")
+        jax.jit(qbm.probs)(qbm.init(jax.random.PRNGKey(0))).block_until_ready()
+    except Exception:
+        qbm = QuantumBornMachine(n, ansatz_layers=LAYERS,
+                                 ansatz_type="hardware_efficient",
+                                 init_method="small_random")
     params = qbm.init(jax.random.PRNGKey(0))
     opt = make_optimizer("adam", 5e-3, 1000, use_lr_scheduler=True,
                          gradient_clip_norm=10.0)

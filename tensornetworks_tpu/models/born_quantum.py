@@ -50,10 +50,10 @@ class QuantumBornMachine:
         ansatz_state_fn(ansatz_type)  # validate early
         if backend == "auto":
             backend = "blocked" if (num_latent_vars >= 6 or conditioning_dim > 0) else "einsum"
-        if conditioning_dim > 0 and backend != "blocked":
+        if conditioning_dim > 0 and backend not in ("blocked",):
             raise ValueError("conditioned quantum Born machines require the 'blocked' backend")
         self.backend = backend
-        if backend == "blocked":
+        if backend in ("blocked", "pallas2d"):
             from ..sim.blocked import make_blocked_probs_fn, make_blocked_state_fn
 
             cond = conditioning_dim > 0
@@ -65,6 +65,14 @@ class QuantumBornMachine:
                 num_latent_vars, ansatz_layers, ansatz_type, block=block, dtype=dtype,
                 conditioning=cond,
             )
+            if backend == "pallas2d":
+                # Whole-circuit fused Pallas kernels (forward + adjoint VJP):
+                # ~40% faster training epochs at n=16 on TPU. Opt-in — native
+                # TPU only (interpret mode would crawl on CPU).
+                from ..ops.pallas.circuit2d import make_pallas_circuit2d_probs
+
+                self._blocked_probs = make_pallas_circuit2d_probs(
+                    num_latent_vars, ansatz_layers, ansatz_type)
         else:
             self._blocked_probs = None
             self._blocked_state = None

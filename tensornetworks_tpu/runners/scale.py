@@ -82,7 +82,8 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
 
 
 def run_sampling_throughput(num_qubits: int = 20, layers: int = 2,
-                            num_samples: int = 1 << 16, verbose: bool = True):
+                            num_samples: int = 1 << 16, verbose: bool = True,
+                            backend: str = "auto"):
     """20-qubit batched statevector Born machine sampling stress
     (BASELINE.json config 5): forward + categorical sampling throughput."""
     import jax
@@ -91,7 +92,7 @@ def run_sampling_throughput(num_qubits: int = 20, layers: int = 2,
     from ..models import QuantumBornMachine
 
     qbm = QuantumBornMachine(num_qubits, ansatz_layers=layers,
-                             ansatz_type="hardware_efficient")
+                             ansatz_type="hardware_efficient", backend=backend)
     params = qbm.init(jax.random.PRNGKey(0))
 
     @jax.jit

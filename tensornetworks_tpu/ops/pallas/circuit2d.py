@@ -45,8 +45,11 @@ def _sign_mask_expr(rb: int, cb: int, pairs: List[Tuple[int, int]]):
 
 
 def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
-                                interpret: bool = False):
-    """probs(params) -> (2^n,) with the whole circuit as one Pallas kernel."""
+                                interpret: bool = False, conditioning: bool = False):
+    """probs(params[, embed_angles]) -> (2^n,) with the whole circuit as one
+    Pallas kernel. With ``conditioning=True`` the RY(angle) embedding wall is
+    Kronecker-folded into the layer-0 rotation operators on the XLA side —
+    the kernels are unchanged."""
     n = num_wires
     rb = (n + 1) // 2
     cb = n - rb
@@ -327,9 +330,7 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
     _interp = [interpret]
     circuit_planes.defvjp(circuit_planes_fwd, circuit_planes_bwd)
 
-    def probs_fn(params: jnp.ndarray) -> jnp.ndarray:
-        """Differentiable: the Pallas forward feeds a Pallas adjoint backward
-        via custom VJP; θ → rotation-matrix construction stays in XLA."""
+    def _build(params, embed_angles=None):
         angles = params.reshape(layers, n, per_qubit)
         if per_qubit == 3:
             U = rot_zyx_batched(angles[..., 0], angles[..., 1], angles[..., 2])
@@ -345,9 +346,30 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
 
         Mr = fold(0, rb)
         Mc = fold(rb, n)
+        if embed_angles is not None:
+            from ...sim.gates import ry_batched
+
+            E = ry_batched(embed_angles.reshape(n)).astype(jnp.complex64)
+            Er = E[0]
+            for q in range(1, rb):
+                Er = batched_kron(Er, E[q])
+            Ec = E[rb]
+            for q in range(rb + 1, n):
+                Ec = batched_kron(Ec, E[q])
+            # Embedding applies before layer 0's rotations:
+            # X <- Mr0 (Er X Ecᵀ) Mc0ᵀ = (Mr0 Er) X (Mc0 Ec)ᵀ.
+            Mr = Mr.at[0].set(Mr[0] @ Er)
+            Mc = Mc.at[0].set(Mc[0] @ Ec)
         out = circuit_planes(
             jnp.real(Mr).astype(jnp.float32), jnp.imag(Mr).astype(jnp.float32),
             jnp.real(Mc).astype(jnp.float32), jnp.imag(Mc).astype(jnp.float32))
         return out.reshape(-1)
+
+    if conditioning:
+        def probs_fn(params: jnp.ndarray, embed_angles) -> jnp.ndarray:
+            return _build(params, embed_angles)
+    else:
+        def probs_fn(params: jnp.ndarray) -> jnp.ndarray:
+            return _build(params)
 
     return probs_fn

@@ -29,3 +29,22 @@ def test_pallas2d_forward_and_adjoint_backward(ansatz, n, L):
     g_pal = np.asarray(jax.grad(lambda p: fn(p) @ v)(params))
     g_ref = np.asarray(jax.grad(lambda p: ansatz_probs(p, n, L, ansatz) @ v)(params))
     np.testing.assert_allclose(g_pal, g_ref, atol=5e-5)
+
+
+def test_pallas2d_conditioning_matches_blocked():
+    from tensornetworks_tpu.sim.blocked import make_blocked_probs_fn
+
+    n, L = 6, 2
+    k = num_ansatz_params(n, L, "hardware_efficient")
+    params = jnp.asarray(np.random.default_rng(0).uniform(0, 2 * np.pi, k),
+                         dtype=jnp.float32)
+    angles = jnp.asarray(np.random.default_rng(1).uniform(0, np.pi, n),
+                         dtype=jnp.float32)
+    fp = make_pallas_circuit2d_probs(n, L, "hardware_efficient",
+                                     interpret=True, conditioning=True)
+    fb = make_blocked_probs_fn(n, L, "hardware_efficient", conditioning=True)
+    np.testing.assert_allclose(np.asarray(fp(params, angles)),
+                               np.asarray(fb(params, angles)), atol=5e-6)
+    g1 = jax.grad(lambda p: fp(p, angles)[3])(params)
+    g2 = jax.grad(lambda p: fb(p, angles).astype(jnp.float32)[3])(params)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-6)

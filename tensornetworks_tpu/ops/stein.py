@@ -133,27 +133,19 @@ def stein_matvec(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray, num_vars: int,
     a = decay_factor(n, length_scale)
     A = np.array([[1.0, a], [a, 1.0]])
     # Layout choice (measured on v5e): the column layout (2^n, 3n+1) wins at
-    # moderate n; for larger n the Kronecker split K = A^{⊗rb} ⊗ A^{⊗cb}
-    # turns the whole matvec into TWO batched matmuls on the (rows, R, C)
-    # view — Y_b = Ar @ X_b @ Acᵀ — with perfect MXU shapes.
+    # moderate n; the row layout (3n+1, 2^n) — state extent on the lane axis
+    # in every grouped pass — wins from n ≥ 18. (Also measured: the two-sided
+    # Kronecker split Y_b = A^{⊗rb} @ X_b @ (A^{⊗cb})ᵀ has perfect shapes but
+    # ~5x the FLOPs and lands slightly slower at n = 20 and 22.)
     use_rows = n >= 18
     if use_rows:
         St, Bt = S.T, B.T
         SBt = St * Bt
         V = jnp.concatenate([q[None, :], Bt * q, St * q, SBt * q], axis=0)
-        rb_bits = (n + 1) // 2
-        cb_bits = n - rb_bits
-        Ar = jnp.asarray(kron_power_np(A, rb_bits), dtype=V.dtype)
-        Ac = jnp.asarray(kron_power_np(A, cb_bits), dtype=V.dtype)
-        V3 = V.reshape(V.shape[0], 1 << rb_bits, 1 << cb_bits)
         if compute_dtype is not None:
-            V3 = V3.astype(compute_dtype)
-            Ar = Ar.astype(compute_dtype)
-            Ac = Ac.astype(compute_dtype)
-        Y3 = jnp.einsum("ij,bjk->bik", Ar, V3, preferred_element_type=V.dtype)
-        Y3 = jnp.einsum("bik,lk->bil", Y3.astype(V3.dtype), Ac,
-                        preferred_element_type=V.dtype)
-        Y = Y3.reshape(V.shape[0], -1).astype(V.dtype)
+            Y = kron_matvec_rows(V.astype(compute_dtype), A, n, group=group).astype(V.dtype)
+        else:
+            Y = kron_matvec_rows(V, A, n, group=group)
         P0, P = Y[0], Y[1 : n + 1]
         Q, T = Y[n + 1 : 2 * n + 1], Y[2 * n + 1 :]
         ax, Sm, Bm, SBm = 0, St, Bt, SBt

@@ -45,8 +45,13 @@ def make_pallas_stein2d_matvec(num_vars: int, length_scale: float = 1.0,
 
         def body(i, _):
             x = v_ref[pl.ds(i * R, R), :]                      # (R, C)
-            x = jnp.dot(ar_ref[:], x, preferred_element_type=f32)
-            x = jnp.dot(x, ac_ref[:].T, preferred_element_type=f32)
+            # HIGHEST precision: TPU default matmul precision runs f32
+            # contractions through bf16 passes (~3e-3 relative error), which
+            # is too lossy for KSD gradients near convergence.
+            x = jnp.dot(ar_ref[:], x, preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
+            x = jnp.dot(x, ac_ref[:].T, preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
             y_ref[pl.ds(i * R, R), :] = x
             return 0
 

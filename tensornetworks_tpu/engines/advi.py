@@ -299,10 +299,11 @@ class AdversarialVariationalInference:
                         best_probs=best_probs, outs=outs)
 
         from ..train.profiling import profile_trace
+        from .common import highest_matmul_precision
 
         run_jit = jax.jit(run)
         t0 = time.perf_counter()
-        with profile_trace(profile_dir):
+        with profile_trace(profile_dir), highest_matmul_precision():
             out = run_jit(self.born_params, self.classifier_vars,
                           jax.random.PRNGKey(self.seed if seed is None else seed))
             force_fetch(out["outs"][0])

@@ -115,9 +115,12 @@ class AmortizedKSD:
         run = jax.jit(lambda p, k, S_, B_, posts_: jax.lax.scan(
             lambda c, x: epoch(c, x, S_, B_, posts_),
             (p, optimizer.init(p), k), None, length=num_epochs))
-        (self.params, _, _), (losses, tvds, gnorms) = run(
-            self.params, jax.random.PRNGKey(seed), S, B, posts)
-        force_fetch(losses)
+        from .common import highest_matmul_precision
+
+        with highest_matmul_precision():
+            (self.params, _, _), (losses, tvds, gnorms) = run(
+                self.params, jax.random.PRNGKey(seed), S, B, posts)
+            force_fetch(losses)
         history = history_to_numpy({"loss": losses, "mean_tvd": tvds,
                                     "grad_norm": gnorms})
         if verbose:
@@ -181,6 +184,9 @@ def train_multi_seed(bayesian_network: BayesianNetwork, latent_vars_names, obser
 
     run = jax.jit(lambda p: jax.lax.scan(epoch, (p, optimizer.init(p)), None,
                                          length=num_epochs))
-    (params, _), (losses, tvds) = run(params0)
-    force_fetch(losses)
+    from .common import highest_matmul_precision
+
+    with highest_matmul_precision():
+        (params, _), (losses, tvds) = run(params0)
+        force_fetch(losses)
     return params, np.asarray(tvds), np.asarray(losses)

@@ -88,6 +88,22 @@ def tree_select(pred, on_true, on_false):
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def highest_matmul_precision():
+    """Training context: force float32 MXU contractions.
+
+    TPU's DEFAULT matmul precision runs f32 dots through bf16 passes; the
+    accumulated error degrades final KSD-VI quality by >20x on the Sprinkler
+    oracle (measured: best TVD 0.095 vs 0.0039). All engines train under
+    HIGHEST.
+    """
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
 def force_fetch(x) -> None:
     """Materialize a device value on the host. Use this (not
     ``jax.block_until_ready``) to stop timing clocks: the tunnel-backed axon

@@ -239,9 +239,10 @@ class KSDVariationalInference:
 
         run = jax.jit(_run) if track else jax.jit(lambda p0, k, tables: _run(p0, k, tables, None))
         from ..train.profiling import profile_trace
+        from .common import highest_matmul_precision
 
         t0 = time.perf_counter()
-        with profile_trace(profile_dir):
+        with profile_trace(profile_dir), highest_matmul_precision():
             key0 = jax.random.PRNGKey(self.seed if seed is None else seed)
             out = (run(self.params, key0, op.args(), posterior_vec) if track
                    else run(self.params, key0, op.args()))
@@ -385,9 +386,10 @@ class QuantumKSDVariationalInference:
 
         run = jax.jit(_run) if track else jax.jit(lambda p0, k, tables: _run(p0, k, tables, None))
         from ..train.profiling import profile_trace
+        from .common import highest_matmul_precision
 
         t0 = time.perf_counter()
-        with profile_trace(profile_dir):
+        with profile_trace(profile_dir), highest_matmul_precision():
             key0 = jax.random.PRNGKey(self.seed if seed is None else seed)
             out = (run(self.params, key0, op.args(), posterior_vec) if track
                    else run(self.params, key0, op.args()))

@@ -90,7 +90,7 @@ def main():
     latent = [f"V{i}" for i in range(n)]
     t = bn.conditional_joint_table(latent, {f"V{n}": 1})
     S = score_table(t)
-    op = SteinOperator(S, n, dense=False)
+    op = SteinOperator(S, n, dense=False, use_pallas=True)
 
     # Prefer the fused Pallas circuit kernels; fall back to the pure-XLA
     # blocked executor if the backend rejects them.
@@ -135,8 +135,16 @@ def main():
     # HIGHEST matmul precision: TPU default precision degrades final TVD
     # >20x (RESULTS.md) — the bench measures the quality-matched config.
     with highest_matmul_precision():
-        params, opt_state, losses = run_timed(params, opt_state, tables)  # compile + warmup
-        float(losses[-1])
+        try:
+            params, opt_state, losses = run_timed(params, opt_state, tables)
+            float(losses[-1])
+        except Exception:
+            # Pallas matvec unavailable on this backend: pure-XLA operator.
+            op = SteinOperator(S, n, dense=False)
+            tables = op.args()
+            run_timed = jax.jit(run_epochs)
+            params, opt_state, losses = run_timed(params, opt_state, tables)
+            float(losses[-1])
 
         t0 = time.perf_counter()
         params, opt_state, losses = run_timed(params, opt_state, tables)

@@ -222,11 +222,17 @@ class SteinOperator:
 
     def __init__(self, score: np.ndarray, num_vars: int, length_scale: float = 1.0,
                  dtype=jnp.float32, dense: bool | None = None, group: int = 7,
-                 compute_dtype=None):
+                 compute_dtype=None, use_pallas: bool = False):
         self.num_vars = num_vars
         self.length_scale = float(length_scale)
         self.group = group
         self.compute_dtype = compute_dtype
+        self._pallas_quadform = None
+        if use_pallas:
+            # Fused two-sided Kronecker matvec kernel (native TPU only).
+            from .pallas.stein2d import make_pallas_stein2d_quadform
+
+            self._pallas_quadform = make_pallas_stein2d_quadform(num_vars, length_scale)
         self.dense = dense if dense is not None else num_vars <= self.DENSE_MAX_VARS
         self.S = jnp.asarray(score, dtype=dtype)
         self.B = jnp.asarray(all_bitstrings(num_vars), dtype=dtype)
@@ -268,6 +274,8 @@ class SteinOperator:
             (gram,) = tables
             return jnp.dot(q, gram @ q)
         S, B = tables
+        if self._pallas_quadform is not None:
+            return self._pallas_quadform(q, S, B)
         return ksd_quadform(q, S, B, self.num_vars, self.length_scale,
                             self.group, self.compute_dtype)
 

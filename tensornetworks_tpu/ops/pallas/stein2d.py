@@ -94,6 +94,72 @@ def make_pallas_stein2d_matvec(num_vars: int, length_scale: float = 1.0,
     return matvec
 
 
+def make_pallas_stein2d_matvec_grid(num_vars: int, length_scale: float = 1.0,
+                                    interpret: bool = False):
+    """Grid-tiled variant for large n: one grid step per Stein column, each
+    holding only its (R, C) block (plus the two Kronecker factors) in VMEM —
+    the whole-V-resident kernel above caps at ~n=17."""
+    n = num_vars
+    rb = (n + 1) // 2
+    cb = n - rb
+    R, C = 1 << rb, 1 << cb
+    cols = 3 * n + 1
+    a = decay_factor(n, length_scale)
+    A = np.array([[1.0, a], [a, 1.0]])
+    Ar = jnp.asarray(kron_power_np(A, rb).astype(np.float32))
+    Ac = jnp.asarray(kron_power_np(A, cb).astype(np.float32))
+    c1 = np.float32(1.0 - 1.0 / a)
+    c2 = np.float32(1.0 - a)
+
+    def kernel(ar_ref, ac_ref, v_ref, y_ref):
+        f32 = jnp.float32
+        x = jnp.dot(ar_ref[:], v_ref[:], preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
+        y_ref[:] = jnp.dot(x, ac_ref[:].T, preferred_element_type=f32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+    def kron_apply_all(V3_flat: jnp.ndarray) -> jnp.ndarray:
+        return pl.pallas_call(
+            kernel,
+            grid=(cols,),
+            out_shape=jax.ShapeDtypeStruct((cols * R, C), jnp.float32),
+            in_specs=[
+                pl.BlockSpec((R, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, C), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(Ar, Ac, V3_flat)
+
+    def matvec(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+        St, Bt = S.T, B.T
+        SBt = St * Bt
+        V = jnp.concatenate([q[None, :], Bt * q, St * q, SBt * q], axis=0)
+        Y = kron_apply_all(V.reshape(cols * R, C).astype(jnp.float32))
+        Y = Y.reshape(cols, 1 << n).astype(q.dtype)
+        P0, P = Y[0], Y[1 : n + 1]
+        Q, T = Y[n + 1 : 2 * n + 1], Y[2 * n + 1 :]
+        u = SBt.sum(axis=0)
+        Rv = St.sum(axis=0)
+        h = Bt.sum(axis=0)
+        term_G = (St * Q).sum(axis=0)
+        y_T1 = u * P0 + (St * (1.0 - 2.0 * Bt) * P).sum(axis=0)
+        y_T1t = T.sum(axis=0) + (Bt * (Q - 2.0 * T)).sum(axis=0)
+        y_Ri = Rv * P0
+        y_Rj = Q.sum(axis=0)
+        y_D = h * P0 + P.sum(axis=0) - 2.0 * (Bt * P).sum(axis=0)
+        return (term_G
+                - c1 * (y_T1 + y_T1t)
+                - c2 * (y_Ri + y_Rj - y_T1 - y_T1t)
+                + 2.0 * n * (1.0 - a) * P0
+                - 2.0 * (1.0 / a - a) * y_D)
+
+    return matvec
+
+
 def make_pallas_stein2d_quadform(num_vars: int, length_scale: float = 1.0,
                                  interpret: bool = False):
     """Differentiable ``quadform(q, S, B) = qᵀ K_p q`` reusing the forward

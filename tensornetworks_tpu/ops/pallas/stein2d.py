@@ -98,7 +98,12 @@ def make_pallas_stein2d_matvec_grid(num_vars: int, length_scale: float = 1.0,
                                     interpret: bool = False):
     """Grid-tiled variant for large n: one grid step per Stein column, each
     holding only its (R, C) block (plus the two Kronecker factors) in VMEM —
-    the whole-V-resident kernel above caps at ~n=17."""
+    the whole-V-resident kernel above caps at ~n=17.
+
+    Measured note (v5e, n=20): compiles and is numerically exact, but the
+    two-sided split costs ~5x the FLOPs of the grouped XLA path and loses
+    (17.1 ms vs 6.8 ms at HIGHEST precision) — kept as the template for
+    FLOP-cheaper tilings; production large-n matvec stays on XLA."""
     n = num_vars
     rb = (n + 1) // 2
     cb = n - rb

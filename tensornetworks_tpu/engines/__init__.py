@@ -1,5 +1,6 @@
 from .advi import AdversarialVariationalInference
 from .amortized import AmortizedKSD, train_multi_seed
+from .distill import fit_born_machine
 from .ksd import KSDVariationalInference, QuantumKSDVariationalInference
 from .common import cosine_lr_schedule, make_optimizer
 
@@ -9,6 +10,7 @@ __all__ = [
     "KSDVariationalInference",
     "QuantumKSDVariationalInference",
     "cosine_lr_schedule",
+    "fit_born_machine",
     "make_optimizer",
     "train_multi_seed",
 ]

@@ -1,0 +1,105 @@
+"""Distribution distillation: fit a Born machine directly to a target.
+
+Beyond-reference utility (no counterpart in ``sozoluffy/TensorNetworks``; the
+reference trains only through KSD / adversarial objectives). Two uses:
+
+1. **Warm starts** — pretrain a Born machine toward a cheap surrogate (e.g.
+   the product of posterior marginals) before handing it to a VI engine, by
+   assigning the fitted params to ``engine.params``.
+2. **Expressivity diagnostics** — when a VI run plateaus, fitting the same
+   model *directly* to the exact posterior separates "the ansatz can't
+   represent it" from "the VI objective doesn't prefer it". This is the probe
+   that attributed the 16-qubit KSD plateau to the objective (RESULTS.md,
+   "Objective quality at scale"): a direct TVD fit of the same circuit
+   reaches far lower TVD than any KSD-trained model.
+
+Runs as one jitted ``lax.scan`` with the shared optimizer stack (cosine LR,
+NaN-skip) and on-device best-snapshot tracking, like the VI engines.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .common import (force_fetch, guarded_update, highest_matmul_precision,
+                     make_optimizer, tree_select)
+
+
+def _loss(kind: str, q: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    if kind == "tvd":
+        return 0.5 * jnp.abs(q - target).sum()
+    if kind == "kl":
+        # KL(target || q): mass-covering; standard distillation direction.
+        safe_q = jnp.clip(q, 1e-12, None)
+        safe_t = jnp.clip(target, 1e-12, None)
+        return (target * (jnp.log(safe_t) - jnp.log(safe_q))).sum()
+    if kind == "l2":
+        return jnp.sum((q - target) ** 2)
+    raise ValueError(f"Unknown distill loss {kind!r}; expected tvd|kl|l2")
+
+
+def fit_born_machine(born_machine, target_probs, *, num_epochs: int = 1000,
+                     lr: float = 0.05, loss: str = "tvd",
+                     optimizer_type: str = "adam",
+                     use_lr_scheduler: bool = True,
+                     gradient_clip_norm: float = 10.0,
+                     params0=None, x_condition=None,
+                     seed: int = 0, jit: bool = True):
+    """Fit ``born_machine`` so its distribution matches ``target_probs``.
+
+    Works with either ``ClassicalBornMachine`` or ``QuantumBornMachine``
+    (anything exposing ``.init(key)`` and ``.probs(params[, x])``).
+
+    Returns ``(best_params, history)`` where ``history`` has ``loss``,
+    ``tvd`` (always tracked vs the target, whatever the fit loss),
+    ``best_tvd``, ``best_epoch``.
+    """
+    target = jnp.asarray(np.asarray(target_probs), dtype=jnp.float32)
+    params = born_machine.init(jax.random.PRNGKey(seed)) if params0 is None else params0
+    optimizer = make_optimizer(optimizer_type, lr, num_epochs,
+                               use_lr_scheduler, (0.9, 0.999),
+                               gradient_clip_norm)
+
+    def probs_fn(p):
+        if x_condition is not None:
+            return born_machine.probs(p, x_condition).astype(jnp.float32)
+        return born_machine.probs(p).astype(jnp.float32)
+
+    def run(params, target):
+        opt_state = optimizer.init(params)
+
+        def step(carry, epoch):
+            p, st, bt, be, bp = carry
+            loss_v, grads = jax.value_and_grad(
+                lambda pp: _loss(loss, probs_fn(pp), target))(p)
+            ok = jnp.isfinite(loss_v)
+            p, st = guarded_update(optimizer, grads, st, p, ok)
+            q = probs_fn(p)
+            tvd = 0.5 * jnp.abs(q - target).sum()
+            imp = tvd < bt
+            bt = jnp.where(imp, tvd, bt)
+            be = jnp.where(imp, epoch, be)
+            bp = tree_select(imp, p, bp)
+            return (p, st, bt, be, bp), (loss_v, tvd)
+
+        init = (params, opt_state, jnp.asarray(jnp.inf, jnp.float32),
+                jnp.asarray(0, jnp.int32), params)
+        (p, st, bt, be, bp), (losses, tvds) = jax.lax.scan(
+            step, init, jnp.arange(num_epochs, dtype=jnp.int32))
+        return bp, bt, be, losses, tvds
+
+    runner = jax.jit(run) if jit else run
+    with highest_matmul_precision():
+        best_params, bt, be, losses, tvds = runner(params, target)
+        force_fetch(losses)
+    history = {
+        "loss": np.asarray(losses),
+        "tvd": np.asarray(tvds),
+        "best_tvd": float(bt),
+        "best_epoch": int(be),
+    }
+    return best_params, history

@@ -2,6 +2,7 @@ from .advi import AdversarialVariationalInference
 from .amortized import AmortizedKSD, train_multi_seed
 from .distill import fit_born_machine
 from .ksd import KSDVariationalInference, QuantumKSDVariationalInference
+from .sampled import SampledKSDVariationalInference
 from .common import cosine_lr_schedule, make_optimizer
 
 __all__ = [
@@ -9,6 +10,7 @@ __all__ = [
     "AmortizedKSD",
     "KSDVariationalInference",
     "QuantumKSDVariationalInference",
+    "SampledKSDVariationalInference",
     "cosine_lr_schedule",
     "fit_born_machine",
     "make_optimizer",

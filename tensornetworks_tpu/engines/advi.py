@@ -39,7 +39,7 @@ from ..core.bits import generate_all_binary_outcomes, jnp_index_to_bits
 from ..models.born_classical import ClassicalBornMachine
 from ..models.classifier import BinaryClassifierMLP
 from .common import (force_fetch, global_norm, guarded_update, history_to_numpy,
-                     make_optimizer, tree_select)
+                     make_optimizer, scan_logging_supported, tree_select)
 from .ksd import _posterior_vec_from
 
 
@@ -264,7 +264,7 @@ class AdversarialVariationalInference:
             else:
                 tvd = jnp.asarray(jnp.nan, dtype)
 
-            if verbose:
+            if verbose and scan_logging_supported():
                 # Periodic console logging (adversarial_vi.py:256-262).
                 log_every = max(1, num_epochs // 20)
 

@@ -62,6 +62,26 @@ def make_optimizer(optimizer_type: str, lr: float, num_epochs: int,
     return optax.chain(*chain)
 
 
+def scan_logging_supported() -> bool:
+    """Whether in-scan ``jax.debug.callback`` console logging can run.
+
+    Some PJRT plugins (e.g. tunneled TPU backends) reject host send/recv
+    callbacks at execution time with UNIMPLEMENTED; engines then silently
+    drop per-epoch logging and keep only host-side summary prints. Override
+    with TNTPU_SCAN_LOGGING=1/0.
+    """
+    import os
+
+    flag = os.environ.get("TNTPU_SCAN_LOGGING")
+    if flag is not None:
+        return flag not in ("0", "false", "False")
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        return True
+    return "axon" not in version
+
+
 def global_norm(tree) -> jnp.ndarray:
     """Global L2 norm of a gradient pytree (what torch's clip_grad_norm_
     returns and the reference logs into history)."""

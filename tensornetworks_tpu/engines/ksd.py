@@ -43,7 +43,7 @@ from ..models.born_classical import ClassicalBornMachine
 from ..models.born_quantum import QuantumBornMachine
 from ..ops.stein import SteinOperator, score_table
 from .common import (force_fetch, global_norm, guarded_update, history_to_numpy,
-                     make_optimizer, tree_select)
+                     make_optimizer, scan_logging_supported, tree_select)
 
 
 def _posterior_vec_from(true_posterior, num_latent_vars, dtype):
@@ -233,7 +233,8 @@ class KSDVariationalInference:
                 num_epochs=num_epochs, optimizer=optimizer,
                 entropy_weight=entropy_weight, posterior_vec=post,
                 early_stopping=track, patience=patience, key=k,
-                log_every=max(1, num_epochs // 20) if verbose else 0,
+                log_every=(max(1, num_epochs // 20)
+                           if verbose and scan_logging_supported() else 0),
                 stein_args=tables,
             )
 
@@ -380,7 +381,8 @@ class QuantumKSDVariationalInference:
                 probs_fn=probs_fn, eval_probs_fn=eval_probs_fn, params0=p0, op=op,
                 num_epochs=num_epochs, optimizer=optimizer, entropy_weight=None,
                 posterior_vec=post, early_stopping=False, patience=0, key=k,
-                log_every=max(1, num_epochs // 20) if verbose else 0,
+                log_every=(max(1, num_epochs // 20)
+                           if verbose and scan_logging_supported() else 0),
                 stein_args=tables,
             )
 

@@ -1,0 +1,173 @@
+"""Sampled-KSD variational inference: U-statistic KSD + REINFORCE gradients.
+
+Scaling path past exact Stein enumeration. The exact engines (engines/ksd.py)
+evaluate ``qᵀ K_p q`` over all 2^n outcomes — optimal up to n ≈ 22, but the
+(2^n, n) float64 score table and the 3n+1 Kronecker passes eventually exceed
+memory. This engine needs **no 2^n-sized Stein structures**: per epoch it
+
+1. samples M bitstrings from the Born machine,
+2. scores them directly from the Bayesian network's CPT factors
+   (core/factors.py — O(n·#nodes) per sample, never a 2^n table),
+3. builds the (M, M) Stein Gram with the closed form on sample rows
+   (ops/stein_sampled.py), and
+4. estimates ∇θ KSD² by the score-function (REINFORCE) identity
+   ∇θ E[k_p(z, z')] = 2 E[k_p(z, z') ∇θ log qθ(z)], with a mean baseline.
+
+No reference counterpart: ``sozoluffy/TensorNetworks`` is exact-only (its
+O(4^n)-per-epoch loop caps it at 3 latent variables in practice). The
+estimator math is verified exactly in tests/test_sampled_ksd.py (the
+enumerated-weights form of the surrogate reproduces ∇(qᵀ K_p q) to fp
+precision, and the sampled Gram equals ``stein_gram_dense`` on the full
+enumeration).
+
+Note the born machine's ``probs``/``log_q`` are still exact over 2^n (a f32
+vector — fine to n ≈ 26 on one chip); what this engine removes is the Stein
+side, which is the first thing to hit the wall. Sampling *measurement shots*
+instead of analytic probabilities drops in transparently (the loss only needs
+samples + their log q).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.bayes_net import BayesianNetwork
+from ..core.factors import make_latent_log_joint_fn
+from ..models.born_quantum import QuantumBornMachine
+from ..ops.stein_sampled import (reinforce_surrogate, score_at_samples,
+                                 stein_gram_samples, ksd_ustat)
+from ..sim.sampling import sample_indices
+from ..core.bits import jnp_index_to_bits
+from .common import (force_fetch, global_norm, guarded_update,
+                     highest_matmul_precision, history_to_numpy,
+                     make_optimizer, tree_select)
+from .ksd import _posterior_vec_from
+
+
+class SampledKSDVariationalInference:
+    """Quantum (or classical) Born-machine VI with sampled KSD.
+
+    Same training surface as ``QuantumKSDVariationalInference`` plus
+    ``num_samples`` (shots per epoch). ``born_machine`` may be any model
+    exposing ``init`` / ``probs``; defaults to a QuantumBornMachine built
+    from the ``qbm_*`` kwargs.
+    """
+
+    def __init__(self, bn: BayesianNetwork, latent_vars_names, observed_vars_names,
+                 *, qbm_ansatz_layers: int = 4,
+                 qbm_ansatz_type: str = "hardware_efficient",
+                 qbm_init_method: str = "small_random",
+                 qbm_backend: str = "auto",
+                 born_machine=None,
+                 base_kernel_length_scale: float = 1.0,
+                 num_samples: int = 512, seed: int = 0):
+        self.bn = bn
+        self.latent_vars_names = list(latent_vars_names)
+        self.observed_vars_names = list(observed_vars_names)
+        self.num_latent_vars = len(self.latent_vars_names)
+        self.length_scale = base_kernel_length_scale
+        self.num_samples = int(num_samples)
+        self.seed = seed
+        self.born_machine = born_machine if born_machine is not None else (
+            QuantumBornMachine(
+                num_latent_vars=self.num_latent_vars,
+                ansatz_layers=qbm_ansatz_layers, ansatz_type=qbm_ansatz_type,
+                init_method=qbm_init_method, backend=qbm_backend))
+        self.params = self.born_machine.init(jax.random.PRNGKey(seed))
+        self.history_: Optional[dict] = None
+
+    def train(self, x_observation_dict: Dict[str, int], num_epochs: int,
+              lr_born_machine: float, verbose: bool = True,
+              true_posterior_for_tvd=None, use_lr_scheduler: bool = True,
+              gradient_clip_norm: float = 10.0, optimizer_type: str = "adam",
+              adam_betas=(0.9, 0.999), seed: Optional[int] = None) -> dict:
+        n, M = self.num_latent_vars, self.num_samples
+        log_joint_z = make_latent_log_joint_fn(
+            self.bn, self.latent_vars_names, x_observation_dict)
+        posterior_vec = _posterior_vec_from(true_posterior_for_tvd, n, jnp.float32)
+        track = posterior_vec is not None
+        optimizer = make_optimizer(optimizer_type, lr_born_machine, num_epochs,
+                                   use_lr_scheduler, adam_betas,
+                                   gradient_clip_norm)
+        bm = self.born_machine
+
+        def epoch_losses(params, key):
+            q = bm.probs(params).astype(jnp.float32)
+            idx = sample_indices(key, jax.lax.stop_gradient(q), M)
+            Z = jnp_index_to_bits(idx, n, dtype=jnp.float32)
+            S_x = score_at_samples(log_joint_z, Z.astype(jnp.int32))
+            gram = stein_gram_samples(S_x.astype(jnp.float32), Z, n,
+                                      self.length_scale)
+            log_q = jnp.log(jnp.clip(q[idx], 1e-12, None))
+            est = ksd_ustat(gram)
+            surrogate = reinforce_surrogate(gram, log_q)
+            # Value reads as the U-stat estimate; gradient flows only
+            # through the REINFORCE surrogate.
+            loss = jax.lax.stop_gradient(est - surrogate) + surrogate
+            return loss, q
+
+        def run(params, key, post):
+            opt_state = optimizer.init(params)
+
+            def step(carry, epoch):
+                p, st, k, bt, be, bp = carry
+                k, sub = jax.random.split(k)
+                (loss, q), grads = jax.value_and_grad(
+                    epoch_losses, has_aux=True)(p, sub)
+                gnorm = global_norm(grads)
+                ok = jnp.isfinite(loss)
+                p, st = guarded_update(optimizer, grads, st, p, ok)
+                if track:
+                    q_eval = bm.probs(p).astype(jnp.float32)
+                    tvd = 0.5 * jnp.abs(q_eval - post).sum()
+                    imp = tvd < bt
+                    bt = jnp.where(imp, tvd, bt)
+                    be = jnp.where(imp, epoch, be)
+                    bp = tree_select(imp, p, bp)
+                else:
+                    tvd = jnp.asarray(jnp.nan, jnp.float32)
+                return (p, st, k, bt, be, bp), (loss, tvd, gnorm, ~ok)
+
+            init = (params, opt_state, key,
+                    jnp.asarray(jnp.inf, jnp.float32),
+                    jnp.asarray(0, jnp.int32), params)
+            (p, st, k, bt, be, bp), hist = jax.lax.scan(
+                step, init, jnp.arange(num_epochs, dtype=jnp.int32))
+            return p, bt, be, bp, hist
+
+        jrun = jax.jit(run) if track else jax.jit(lambda p, k: run(p, k, None))
+        t0 = time.perf_counter()
+        with highest_matmul_precision():
+            key0 = jax.random.PRNGKey(self.seed if seed is None else seed)
+            out = (jrun(self.params, key0, posterior_vec) if track
+                   else jrun(self.params, key0))
+            params, bt, be, bp, (losses, tvds, gnorms, skipped) = out
+            force_fetch(losses)
+        elapsed = time.perf_counter() - t0
+
+        self.params = params
+        self.best_tvd_ = float(bt)
+        self.best_epoch_ = int(be)
+        self.best_params_ = bp
+        if track and np.isfinite(self.best_tvd_):
+            if verbose:
+                print(f"Restoring best parameters (TVD: {self.best_tvd_:.6f})")
+            self.params = bp
+        history = history_to_numpy(
+            {"loss_ksd": losses, "tvd": tvds, "grad_norm": gnorms})
+        history["epochs_per_sec"] = num_epochs / elapsed if elapsed > 0 else float("inf")
+        history["train_seconds"] = elapsed
+        history["num_skipped_updates"] = int(np.asarray(skipped).sum())
+        self.history_ = history
+        if verbose:
+            print(f"Sampled KSD ({M} shots/epoch): {num_epochs} epochs in "
+                  f"{elapsed:.3f}s ({history['epochs_per_sec']:.1f} epochs/s)")
+        return history
+
+    def get_prob_dict(self) -> dict:
+        return self.born_machine.get_prob_dict(self.params)

@@ -1,0 +1,124 @@
+"""Sampled (U-statistic) kernelized Stein discrepancy.
+
+Everything in ``ops/stein.py`` enumerates {0,1}^n exactly — the right call up
+to n ≈ 22, but the (2^n, n) score table and 3n+1 Kronecker passes eventually
+hit the memory wall. This module evaluates the *same* Stein kernel
+``k_p(x, y)`` (stein.py module docstring; "Eq. 13" of the reference,
+``stein_utils.py:138-197``) on **batches of samples** instead:
+
+- ``stein_gram_samples``   — (M, M) Gram over M sampled bitstrings, the
+  identical closed form ``K ∘ W`` with the all-bitstrings matrix replaced by
+  the sample matrix. On the full enumeration it reproduces
+  ``stein_gram_dense`` exactly (tests/test_sampled_ksd.py).
+- ``score_at_samples``     — Stein score rows s(z) from a factored
+  ``log p(x, z)`` callable (core/factors.py): O(n·N) per sample, no 2^n
+  table, with the reference's zero-probability guard (stein_utils.py:115-136)
+  applied in log space.
+- ``ksd_ustat / ksd_vstat`` — unbiased / biased KSD² estimates from a Gram.
+- ``reinforce_surrogate``  — a scalar whose gradient is the score-function
+  (REINFORCE) estimator of ∇θ KSD²: since k_p is θ-independent,
+  ∇θ E[k_p(z, z')] = 2·E[k_p(z, z') ∇θ log qθ(z)]. With the full
+  enumeration weighted by q this gradient is *exactly* ∇θ (qᵀ K_p q)
+  (verified in tests).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .hamming import decay_factor
+from .stein import SCORE_EPS
+
+
+def stein_gram_samples(S_x: jnp.ndarray, X: jnp.ndarray, num_vars: int,
+                       length_scale: float = 1.0) -> jnp.ndarray:
+    """(M, M) Stein Gram over sample rows ``X`` with score rows ``S_x``.
+
+    Same closed form as ``stein_gram_dense`` (K ∘ W; see stein.py): all
+    pairwise quantities are products of (M, n) factors, so the cost is
+    O(M²·n) MXU work regardless of 2^n.
+    """
+    X = X.astype(S_x.dtype)
+    a = jnp.asarray(decay_factor(num_vars, length_scale), dtype=S_x.dtype)
+    h = X.sum(axis=1)
+    D = h[:, None] + h[None, :] - 2.0 * (X @ X.T)
+    K = jnp.power(a, D)
+    G = S_x @ S_x.T
+    u = (S_x * X).sum(axis=1)
+    T1 = u[:, None] + S_x @ X.T - 2.0 * ((S_x * X) @ X.T)
+    R = S_x.sum(axis=1)
+    c1 = 1.0 - 1.0 / a
+    c2 = 1.0 - a
+    W = (
+        G
+        - c1 * (T1 + T1.T)
+        - c2 * (R[:, None] + R[None, :] - T1 - T1.T)
+        + 2.0 * num_vars * (1.0 - a)
+        - 2.0 * (1.0 / a - a) * D
+    )
+    return K * W
+
+
+def score_at_samples(log_joint_latent_fn: Callable, Z: jnp.ndarray,
+                     eps: float = SCORE_EPS) -> jnp.ndarray:
+    """Score rows ``s_m(z) = 1 - p(x, flip_m z) / p(x, z)`` for sampled z.
+
+    ``log_joint_latent_fn`` maps (..., n) latent bits to log p(x, z)
+    (core/factors.make_latent_log_joint_fn). Rows with p(x, z) < eps are
+    zeroed — the reference's guard (stein_utils.py:115-136).
+    """
+    Z = Z.astype(jnp.int32)
+    n = Z.shape[-1]
+    lp = log_joint_latent_fn(Z)                                  # (M,)
+    flips = jnp.stack(
+        [Z.at[..., m].set(1 - Z[..., m]) for m in range(n)], axis=-2
+    )                                                            # (M, n, n)
+    lpf = log_joint_latent_fn(flips)                             # (M, n)
+    s = 1.0 - jnp.exp(lpf - lp[..., None])
+    return jnp.where(lp[..., None] < np.log(eps), 0.0, s)
+
+
+def ksd_ustat(gram: jnp.ndarray) -> jnp.ndarray:
+    """Unbiased KSD² estimate: mean of off-diagonal Gram entries."""
+    M = gram.shape[0]
+    return (gram.sum() - jnp.trace(gram)) / (M * (M - 1))
+
+
+def ksd_vstat(gram: jnp.ndarray) -> jnp.ndarray:
+    """Biased (V-statistic) KSD² estimate: mean of all Gram entries."""
+    M = gram.shape[0]
+    return gram.sum() / (M * M)
+
+
+def reinforce_surrogate(gram: jnp.ndarray, log_q: jnp.ndarray,
+                        use_baseline: bool = True) -> jnp.ndarray:
+    """Scalar whose θ-gradient estimates ∇θ KSD² (U-statistic form).
+
+    ``gram`` is treated as a constant (it carries no θ dependence — scores
+    come from p, the kernel from the bits); ``log_q`` must be the
+    differentiable log-probabilities of the M samples. The leave-one-out
+    weights ``w_i = mean_{j≠i} k_p(z_i, z_j)`` give
+    ``∇ = (2/M) Σ_i w_i ∇log q(z_i)``; a scalar baseline (their mean) is
+    subtracted for variance since E[∇log q] = 0.
+    """
+    M = gram.shape[0]
+    g = jax.lax.stop_gradient(gram)
+    w = (g.sum(axis=1) - jnp.diag(g)) / (M - 1)
+    if use_baseline:
+        w = w - w.mean()
+    return 2.0 * (w * log_q).mean()
+
+
+def reinforce_surrogate_weighted(gram: jnp.ndarray, log_q: jnp.ndarray,
+                                 weights: jnp.ndarray) -> jnp.ndarray:
+    """Exact-expectation form of the surrogate: rows are *all* outcomes and
+    ``weights`` their (stop-gradient) probabilities. Its gradient equals
+    ∇θ (qᵀ K_p q) exactly — the test oracle for the sampled estimator."""
+    g = jax.lax.stop_gradient(gram)
+    wgt = jax.lax.stop_gradient(weights)
+    row = g @ wgt                       # (Σ_y q(y) k_p(x, y)) per outcome x
+    return 2.0 * (wgt * row * log_q).sum()

@@ -1,0 +1,179 @@
+"""Sampled (U-statistic) KSD stack: factored log-joint, sampled scores and
+Gram vs the exact enumerated oracles, REINFORCE estimator algebra, engine."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tensornetworks_tpu.core import (all_bitstrings, get_random_chain_network,
+                                     get_sprinkler_network)
+from tensornetworks_tpu.core.factors import (compile_factors,
+                                             make_latent_log_joint_fn,
+                                             make_log_joint_fn)
+from tensornetworks_tpu.engines import SampledKSDVariationalInference
+from tensornetworks_tpu.ops import score_table, stein_gram_dense
+from tensornetworks_tpu.ops.stein_sampled import (
+    ksd_ustat, ksd_vstat, reinforce_surrogate, reinforce_surrogate_weighted,
+    score_at_samples, stein_gram_samples)
+
+
+def test_factored_log_joint_matches_dense_table():
+    for bn in (get_sprinkler_network(), get_random_chain_network(7, seed=3)):
+        n = bn.num_nodes
+        log_joint = make_log_joint_fn(bn, dtype=jnp.float64)
+        assign = jnp.asarray(all_bitstrings(n), dtype=jnp.int32)
+        got = np.asarray(log_joint(assign))
+        want = np.log(np.clip(bn.joint_table(), 1e-300, None))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_latent_log_joint_matches_conditional_table():
+    bn = get_random_chain_network(8, seed=5)
+    latent = [f"V{i}" for i in range(6)]
+    obs = {"V6": 1, "V7": 0}
+    fn = make_latent_log_joint_fn(bn, latent, obs, dtype=jnp.float64)
+    Z = jnp.asarray(all_bitstrings(6), dtype=jnp.int32)
+    got = np.exp(np.asarray(fn(Z)))
+    want = bn.conditional_joint_table(latent, obs)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_latent_log_joint_rejects_unassigned_nodes():
+    bn = get_random_chain_network(5, seed=0)
+    with pytest.raises(ValueError):
+        make_latent_log_joint_fn(bn, ["V0", "V1"], {"V4": 1})
+
+
+def test_score_at_samples_matches_score_table():
+    bn = get_random_chain_network(8, seed=2)
+    latent = [f"V{i}" for i in range(6)]
+    obs = {"V6": 0, "V7": 1}
+    fn = make_latent_log_joint_fn(bn, latent, obs, dtype=jnp.float64)
+    Z = jnp.asarray(all_bitstrings(6), dtype=jnp.int32)
+    got = np.asarray(score_at_samples(fn, Z))
+    want = score_table(bn.conditional_joint_table(latent, obs))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_score_guard_zeroes_impossible_rows():
+    # Deterministic CPT -> hard-zero assignments exercise the eps guard.
+    from tensornetworks_tpu.core import BayesianNetwork
+
+    bn = BayesianNetwork()
+    bn.add_node("A", {(): {0: 0.4, 1: 0.6}})
+    bn.add_node("B", {(0,): {0: 1.0, 1: 0.0}, (1,): {0: 0.3, 1: 0.7}},
+                parent_names=["A"])
+    bn.add_node("X", {(0,): {0: 0.2, 1: 0.8}, (1,): {0: 0.5, 1: 0.5}},
+                parent_names=["B"])
+    latent = ["A", "B"]
+    obs = {"X": 1}
+    t = bn.conditional_joint_table(latent, obs)
+    assert (t < 1e-12).any(), "expected an impossible assignment"
+    fn = make_latent_log_joint_fn(bn, latent, obs, dtype=jnp.float64)
+    Z = jnp.asarray(all_bitstrings(2), dtype=jnp.int32)
+    got = np.asarray(score_at_samples(fn, Z))
+    want = score_table(t)
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+    assert (got[t < 1e-12] == 0.0).all()
+
+
+def test_sampled_gram_equals_dense_on_full_enumeration():
+    bn = get_random_chain_network(7, seed=4)
+    latent = [f"V{i}" for i in range(5)]
+    obs = {"V5": 1, "V6": 0}
+    S = score_table(bn.conditional_joint_table(latent, obs))
+    B = all_bitstrings(5)
+    for ls in (1.0, 0.25):
+        dense = np.asarray(stein_gram_dense(S, 5, ls, dtype=jnp.float64))
+        sampled = np.asarray(stein_gram_samples(
+            jnp.asarray(S), jnp.asarray(B, dtype=jnp.float64), 5, ls))
+        np.testing.assert_allclose(sampled, dense, rtol=1e-9,
+                                   atol=1e-9 * np.abs(dense).max())
+
+
+def test_ustat_vstat_statistics():
+    g = jnp.asarray([[4.0, 1.0], [3.0, 2.0]])
+    np.testing.assert_allclose(float(ksd_ustat(g)), 2.0)
+    np.testing.assert_allclose(float(ksd_vstat(g)), 2.5)
+
+
+def test_reinforce_weighted_gradient_equals_exact():
+    # Enumerated-weights surrogate gradient == autodiff of q^T K_p q.
+    bn = get_random_chain_network(6, seed=1)
+    latent = [f"V{i}" for i in range(5)]
+    obs = {"V5": 1}
+    S = score_table(bn.conditional_joint_table(latent, obs))
+    Kp = jnp.asarray(np.asarray(stein_gram_dense(S, 5, 1.0, dtype=jnp.float64)))
+    logits0 = jax.random.normal(jax.random.PRNGKey(0), (32,), dtype=jnp.float64)
+
+    def exact(logits):
+        q = jax.nn.softmax(logits)
+        return q @ (Kp @ q)
+
+    def surrogate(logits):
+        q = jax.nn.softmax(logits)
+        log_q = jax.nn.log_softmax(logits)
+        gram = stein_gram_samples(
+            jnp.asarray(S), jnp.asarray(all_bitstrings(5), dtype=jnp.float64),
+            5, 1.0)
+        return reinforce_surrogate_weighted(gram, log_q, q)
+
+    g_exact = np.asarray(jax.grad(exact)(logits0))
+    g_est = np.asarray(jax.grad(surrogate)(logits0))
+    np.testing.assert_allclose(g_est, g_exact, rtol=1e-8,
+                               atol=1e-10 * np.abs(g_exact).max())
+
+
+def test_reinforce_sampled_gradient_is_unbiasedish():
+    # Many-shot sampled gradient approaches the exact gradient direction.
+    bn = get_random_chain_network(5, seed=6)
+    latent = [f"V{i}" for i in range(4)]
+    obs = {"V4": 1}
+    S = score_table(bn.conditional_joint_table(latent, obs))
+    Kp = jnp.asarray(np.asarray(stein_gram_dense(S, 4, 1.0, dtype=jnp.float64)))
+    fn = make_latent_log_joint_fn(bn, latent, obs, dtype=jnp.float64)
+    logits0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (16,), dtype=jnp.float64)
+
+    def exact(logits):
+        q = jax.nn.softmax(logits)
+        return q @ (Kp @ q)
+
+    def sampled(logits, key):
+        q = jax.nn.softmax(logits)
+        idx = jax.random.categorical(key, jax.lax.stop_gradient(logits), shape=(4096,))
+        Z = ((idx[:, None] >> jnp.arange(3, -1, -1)) & 1).astype(jnp.int32)
+        Sx = score_at_samples(fn, Z)
+        gram = stein_gram_samples(Sx, Z.astype(jnp.float64), 4, 1.0)
+        log_q = jax.nn.log_softmax(logits)[idx]
+        return reinforce_surrogate(gram, log_q)
+
+    g_exact = np.asarray(jax.grad(exact)(logits0))
+    gs = [np.asarray(jax.grad(sampled)(logits0, jax.random.PRNGKey(k)))
+          for k in range(8)]
+    g_mean = np.mean(gs, axis=0)
+    cos = g_mean @ g_exact / (np.linalg.norm(g_mean) * np.linalg.norm(g_exact))
+    assert cos > 0.95, cos
+    # And the U-stat value estimates the exact quadform.
+    def val(key):
+        q = jax.nn.softmax(logits0)
+        idx = jax.random.categorical(key, logits0, shape=(4096,))
+        Z = ((idx[:, None] >> jnp.arange(3, -1, -1)) & 1).astype(jnp.int32)
+        Sx = score_at_samples(fn, Z)
+        return float(ksd_ustat(stein_gram_samples(Sx, Z.astype(jnp.float64), 4, 1.0)))
+    vals = [val(jax.random.PRNGKey(k)) for k in range(8)]
+    np.testing.assert_allclose(np.mean(vals), float(exact(logits0)), rtol=0.05)
+
+
+def test_sampled_engine_converges_on_sprinkler():
+    bn = get_sprinkler_network()
+    latent = ["C", "S", "R"]
+    obs = {"W": 1}
+    post = bn.posterior_vector(latent, obs)
+    engine = SampledKSDVariationalInference(
+        bn, latent, ["W"], qbm_ansatz_layers=2, qbm_backend="einsum",
+        num_samples=1024, seed=0)
+    h = engine.train(obs, num_epochs=500, lr_born_machine=0.05,
+                     verbose=False, true_posterior_for_tvd=post)
+    assert engine.best_tvd_ < 0.08, engine.best_tvd_
+    assert np.isfinite(h["loss_ksd"]).all()

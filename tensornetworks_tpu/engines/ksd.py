@@ -74,71 +74,107 @@ def run_ksd_scan(
     key: Optional[jax.Array] = None,
     log_every: int = 0,
     stein_args: Optional[tuple] = None,
+    chunk_epochs: Optional[int] = None,
 ):
     """One jitted training program shared by the classical and quantum KSD
-    engines. Returns (final_params, best dict, history arrays, stop_epoch)."""
+    engines. Returns (final_params, best dict, history arrays, stop_epoch).
+
+    ``chunk_epochs``: when set, the epoch scan is split into separately
+    dispatched device programs of at most that many epochs, with the carry
+    (params, optimizer state, best snapshot, early-stop counters — and hence
+    the cosine schedule, which lives in the optimizer count) flowing across
+    chunks unchanged. Use on backends that bound single-program runtime
+    (e.g. tunneled TPU workers); results are bit-identical to the single
+    scan. In chunked mode the caller must NOT wrap this function in
+    ``jax.jit`` — each chunk jits itself, and the Stein tables / posterior
+    ride along as operands (never HLO constants)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     opt_state = optimizer.init(params0)
-    q0 = eval_probs_fn(params0)
+    q0 = jax.jit(eval_probs_fn)(params0) if chunk_epochs else eval_probs_fn(params0)
     dtype = q0.dtype
     track_tvd = posterior_vec is not None
 
-    def epoch_step(carry, epoch):
-        params, opt_state, k, best_tvd, best_epoch, best_params, best_probs, esi, stopped = carry
-        k, sub = jax.random.split(k)
+    def make_epoch_step(sa, pv):
+        def epoch_step(carry, epoch):
+            params, opt_state, k, best_tvd, best_epoch, best_params, best_probs, esi, stopped = carry
+            k, sub = jax.random.split(k)
 
-        def loss_fn(p):
-            q = probs_fn(p, sub)
-            ksd = (op.ksd_loss_from(q, *stein_args) if stein_args is not None
-                   else op.ksd_loss(q))
-            ent = -(q * jnp.log(jnp.clip(q, 1e-10, None))).sum()
-            loss = ksd if entropy_weight is None else ksd - entropy_weight * ent
-            return loss, (ksd, ent)
+            def loss_fn(p):
+                q = probs_fn(p, sub)
+                ksd = (op.ksd_loss_from(q, *sa) if sa is not None
+                       else op.ksd_loss(q))
+                ent = -(q * jnp.log(jnp.clip(q, 1e-10, None))).sum()
+                loss = ksd if entropy_weight is None else ksd - entropy_weight * ent
+                return loss, (ksd, ent)
 
-        (loss, (ksd, ent)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        gnorm = global_norm(grads)
-        do_update = jnp.isfinite(loss) & ~stopped
-        params, opt_state = guarded_update(optimizer, grads, opt_state, params, do_update)
+            (loss, (ksd, ent)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            gnorm = global_norm(grads)
+            do_update = jnp.isfinite(loss) & ~stopped
+            params, opt_state = guarded_update(optimizer, grads, opt_state, params, do_update)
 
-        q_eval = eval_probs_fn(params)
-        if track_tvd:
-            tvd = 0.5 * jnp.abs(q_eval - posterior_vec).sum()
-            improved = (tvd < best_tvd) & ~stopped
-            best_tvd = jnp.where(improved, tvd, best_tvd)
-            best_epoch = jnp.where(improved, epoch, best_epoch)
-            best_params = tree_select(improved, params, best_params)
-            best_probs = jnp.where(improved, q_eval, best_probs)
-            esi = jnp.where(stopped, esi, jnp.where(improved, 0, esi + 1))
-            if early_stopping:
-                stopped = stopped | ((esi > patience) & (epoch > min_epochs_before_stop))
-        else:
-            tvd = jnp.asarray(jnp.nan, dtype=dtype)
+            q_eval = eval_probs_fn(params)
+            if track_tvd:
+                tvd = 0.5 * jnp.abs(q_eval - pv).sum()
+                improved = (tvd < best_tvd) & ~stopped
+                best_tvd = jnp.where(improved, tvd, best_tvd)
+                best_epoch = jnp.where(improved, epoch, best_epoch)
+                best_params = tree_select(improved, params, best_params)
+                best_probs = jnp.where(improved, q_eval, best_probs)
+                esi = jnp.where(stopped, esi, jnp.where(improved, 0, esi + 1))
+                if early_stopping:
+                    stopped = stopped | ((esi > patience) & (epoch > min_epochs_before_stop))
+            else:
+                tvd = jnp.asarray(jnp.nan, dtype=dtype)
 
-        if log_every:
-            # Reference-style periodic console logging (ksd_vi.py:188-196),
-            # emitted from device via an async host callback.
-            def _log(e, k_, t_):
-                print(f"Epoch {int(e) + 1}/{num_epochs} | KSD: {float(k_):.6f}"
-                      + (f" | TVD: {float(t_):.6f}" if np.isfinite(float(t_)) else ""))
+            if log_every:
+                # Reference-style periodic console logging (ksd_vi.py:188-196),
+                # emitted from device via an async host callback.
+                def _log(e, k_, t_):
+                    print(f"Epoch {int(e) + 1}/{num_epochs} | KSD: {float(k_):.6f}"
+                          + (f" | TVD: {float(t_):.6f}" if np.isfinite(float(t_)) else ""))
 
-            jax.lax.cond(
-                ((epoch % log_every) == 0) | (epoch == num_epochs - 1),
-                lambda args: jax.debug.callback(_log, *args),
-                lambda args: None,
-                (epoch, ksd, tvd),
-            )
+                jax.lax.cond(
+                    ((epoch % log_every) == 0) | (epoch == num_epochs - 1),
+                    lambda args: jax.debug.callback(_log, *args),
+                    lambda args: None,
+                    (epoch, ksd, tvd),
+                )
 
-        carry = (params, opt_state, k, best_tvd, best_epoch, best_params, best_probs, esi, stopped)
-        return carry, (ksd, tvd, gnorm, ent, stopped, ~do_update & ~stopped)
+            carry = (params, opt_state, k, best_tvd, best_epoch, best_params, best_probs, esi, stopped)
+            return carry, (ksd, tvd, gnorm, ent, stopped, ~do_update & ~stopped)
+
+        return epoch_step
 
     init = (
         params0, opt_state, key,
         jnp.asarray(jnp.inf, dtype=dtype), jnp.asarray(-1),
         params0, q0, jnp.asarray(0), jnp.asarray(False),
     )
-    (params, _, _, best_tvd, best_epoch, best_params, best_probs, _, _), outs = jax.lax.scan(
-        epoch_step, init, jnp.arange(num_epochs)
-    )
+    if chunk_epochs and chunk_epochs < num_epochs:
+        # sa/pv arrive as (possibly empty) tuple operands so the per-chunk
+        # jit never bakes large tables in as HLO constants.
+        def _scan_chunk(carry, epochs, sa_t, pv_t):
+            step = make_epoch_step(sa_t if sa_t else None,
+                                   pv_t[0] if pv_t else None)
+            return jax.lax.scan(step, carry, epochs)
+
+        scan_chunk = jax.jit(_scan_chunk)
+        sa_t = tuple(stein_args) if stein_args is not None else ()
+        pv_t = (posterior_vec,) if track_tvd else ()
+        carry, parts = init, []
+        for s in range(0, num_epochs, chunk_epochs):
+            epochs = jnp.arange(s, min(s + chunk_epochs, num_epochs))
+            carry, o = scan_chunk(carry, epochs, sa_t, pv_t)
+            # Sync point: the previous program must finish before the next
+            # launches (bounded-runtime backends kill long programs).
+            np.asarray(carry[3])
+            parts.append(o)
+        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+        (params, _, _, best_tvd, best_epoch, best_params, best_probs, _, _) = carry
+    else:
+        (params, _, _, best_tvd, best_epoch, best_params, best_probs, _, _), outs = jax.lax.scan(
+            make_epoch_step(stein_args, posterior_vec), init, jnp.arange(num_epochs)
+        )
     ksd_hist, tvd_hist, gnorm_hist, ent_hist, stopped_hist, skipped_hist = outs
     return {
         "params": params,
@@ -210,7 +246,8 @@ class KSDVariationalInference:
               adam_betas=(0.9, 0.999), entropy_weight: float = 0.01,
               patience: int = 200, seed: Optional[int] = None,
               checkpoint_path: Optional[str] = None,
-              profile_dir: Optional[str] = None) -> dict:
+              profile_dir: Optional[str] = None,
+              chunk_epochs: Optional[int] = None) -> dict:
         x_cond = self._x_cond_tensor(x_observation_dict)
         self._x_condition = x_cond
         op = self.build_operator(x_observation_dict)
@@ -235,10 +272,14 @@ class KSDVariationalInference:
                 early_stopping=track, patience=patience, key=k,
                 log_every=(max(1, num_epochs // 20)
                            if verbose and scan_logging_supported() else 0),
-                stein_args=tables,
+                stein_args=tables, chunk_epochs=chunk_epochs,
             )
 
-        run = jax.jit(_run) if track else jax.jit(lambda p0, k, tables: _run(p0, k, tables, None))
+        if chunk_epochs:
+            # Chunked mode manages its own per-chunk jit (see run_ksd_scan).
+            run = _run if track else (lambda p0, k, tables: _run(p0, k, tables, None))
+        else:
+            run = jax.jit(_run) if track else jax.jit(lambda p0, k, tables: _run(p0, k, tables, None))
         from ..train.profiling import profile_trace
         from .common import highest_matmul_precision
 
@@ -350,7 +391,8 @@ class QuantumKSDVariationalInference:
               gradient_clip_norm: float = 10.0, optimizer_type: str = "adam",
               adam_betas=(0.9, 0.999), seed: Optional[int] = None,
               checkpoint_path: Optional[str] = None,
-              profile_dir: Optional[str] = None) -> dict:
+              profile_dir: Optional[str] = None,
+              chunk_epochs: Optional[int] = None) -> dict:
         if self.num_observed_vars > 0 and set(x_observation_dict) != set(self.observed_vars_names):
             raise ValueError("Keys in x_observation_dict must match self.observed_vars_names.")
         op = self.build_operator(x_observation_dict)
@@ -383,10 +425,14 @@ class QuantumKSDVariationalInference:
                 posterior_vec=post, early_stopping=False, patience=0, key=k,
                 log_every=(max(1, num_epochs // 20)
                            if verbose and scan_logging_supported() else 0),
-                stein_args=tables,
+                stein_args=tables, chunk_epochs=chunk_epochs,
             )
 
-        run = jax.jit(_run) if track else jax.jit(lambda p0, k, tables: _run(p0, k, tables, None))
+        if chunk_epochs:
+            # Chunked mode manages its own per-chunk jit (see run_ksd_scan).
+            run = _run if track else (lambda p0, k, tables: _run(p0, k, tables, None))
+        else:
+            run = jax.jit(_run) if track else jax.jit(lambda p0, k, tables: _run(p0, k, tables, None))
         from ..train.profiling import profile_trace
         from .common import highest_matmul_precision
 

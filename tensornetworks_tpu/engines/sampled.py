@@ -85,7 +85,8 @@ class SampledKSDVariationalInference:
               lr_born_machine: float, verbose: bool = True,
               true_posterior_for_tvd=None, use_lr_scheduler: bool = True,
               gradient_clip_norm: float = 10.0, optimizer_type: str = "adam",
-              adam_betas=(0.9, 0.999), seed: Optional[int] = None) -> dict:
+              adam_betas=(0.9, 0.999), seed: Optional[int] = None,
+              chunk_epochs: Optional[int] = None) -> dict:
         n, M = self.num_latent_vars, self.num_samples
         log_joint_z = make_latent_log_joint_fn(
             self.bn, self.latent_vars_names, x_observation_dict)
@@ -111,9 +112,7 @@ class SampledKSDVariationalInference:
             loss = jax.lax.stop_gradient(est - surrogate) + surrogate
             return loss, q
 
-        def run(params, key, post):
-            opt_state = optimizer.init(params)
-
+        def make_step(post):
             def step(carry, epoch):
                 p, st, k, bt, be, bp = carry
                 k, sub = jax.random.split(k)
@@ -133,20 +132,47 @@ class SampledKSDVariationalInference:
                     tvd = jnp.asarray(jnp.nan, jnp.float32)
                 return (p, st, k, bt, be, bp), (loss, tvd, gnorm, ~ok)
 
+            return step
+
+        def run(params, key, post):
+            opt_state = optimizer.init(params)
             init = (params, opt_state, key,
                     jnp.asarray(jnp.inf, jnp.float32),
                     jnp.asarray(0, jnp.int32), params)
             (p, st, k, bt, be, bp), hist = jax.lax.scan(
-                step, init, jnp.arange(num_epochs, dtype=jnp.int32))
+                make_step(post), init, jnp.arange(num_epochs, dtype=jnp.int32))
             return p, bt, be, bp, hist
 
-        jrun = jax.jit(run) if track else jax.jit(lambda p, k: run(p, k, None))
         t0 = time.perf_counter()
         with highest_matmul_precision():
             key0 = jax.random.PRNGKey(self.seed if seed is None else seed)
-            out = (jrun(self.params, key0, posterior_vec) if track
-                   else jrun(self.params, key0))
-            params, bt, be, bp, (losses, tvds, gnorms, skipped) = out
+            if chunk_epochs and chunk_epochs < num_epochs:
+                # Bounded device programs (see run_ksd_scan.chunk_epochs):
+                # posterior rides as an operand tuple, never an HLO constant.
+                def _scan_chunk(carry, epochs, pv_t):
+                    return jax.lax.scan(
+                        make_step(pv_t[0] if pv_t else None), carry, epochs)
+
+                scan_chunk = jax.jit(_scan_chunk)
+                pv_t = (posterior_vec,) if track else ()
+                carry = (self.params, optimizer.init(self.params), key0,
+                         jnp.asarray(jnp.inf, jnp.float32),
+                         jnp.asarray(0, jnp.int32), self.params)
+                parts = []
+                for s in range(0, num_epochs, chunk_epochs):
+                    epochs = jnp.arange(s, min(s + chunk_epochs, num_epochs),
+                                        dtype=jnp.int32)
+                    carry, o = scan_chunk(carry, epochs, pv_t)
+                    np.asarray(carry[3])  # sync: previous program finished
+                    parts.append(o)
+                hist = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+                params, _, _, bt, be, bp = carry
+                losses, tvds, gnorms, skipped = hist
+            else:
+                jrun = jax.jit(run) if track else jax.jit(lambda p, k: run(p, k, None))
+                out = (jrun(self.params, key0, posterior_vec) if track
+                       else jrun(self.params, key0))
+                params, bt, be, bp, (losses, tvds, gnorms, skipped) = out
             force_fetch(losses)
         elapsed = time.perf_counter() - t0
 

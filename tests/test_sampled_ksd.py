@@ -177,3 +177,23 @@ def test_sampled_engine_converges_on_sprinkler():
                      verbose=False, true_posterior_for_tvd=post)
     assert engine.best_tvd_ < 0.08, engine.best_tvd_
     assert np.isfinite(h["loss_ksd"]).all()
+
+
+def test_sampled_engine_chunked_matches_single():
+    bn = get_sprinkler_network()
+    latent = ["C", "S", "R"]
+    obs = {"W": 1}
+    post = bn.posterior_vector(latent, obs)
+    kw = dict(num_epochs=80, lr_born_machine=0.05, verbose=False,
+              true_posterior_for_tvd=post)
+    e1 = SampledKSDVariationalInference(bn, latent, ["W"], qbm_ansatz_layers=2,
+                                        qbm_backend="einsum", num_samples=256,
+                                        seed=0)
+    e2 = SampledKSDVariationalInference(bn, latent, ["W"], qbm_ansatz_layers=2,
+                                        qbm_backend="einsum", num_samples=256,
+                                        seed=0)
+    h1 = e1.train(obs, **kw)
+    h2 = e2.train(obs, **kw, chunk_epochs=30)
+    np.testing.assert_allclose(h1["loss_ksd"], h2["loss_ksd"], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(e1.best_tvd_, e2.best_tvd_, rtol=1e-6, atol=1e-8)
+    assert e1.best_epoch_ == e2.best_epoch_

@@ -54,7 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--epochs", type=int, default=200)
     s.add_argument("--lr", type=float, default=5e-3)
     s.add_argument("--objective", type=str, default="ksd",
-                   choices=["ksd", "adversarial"])
+                   choices=["ksd", "adversarial", "sampled-ksd"])
     s.add_argument("--seed", type=int, default=0)
     return p
 

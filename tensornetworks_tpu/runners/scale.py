@@ -67,6 +67,21 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
                               true_posterior_for_tvd=posterior,
                               gradient_clip_norm=5.0, baseline_decay=0.95,
                               adam_betas=(0.5, 0.999))
+    elif objective == "sampled-ksd":
+        # Past-exact-enumeration path (no reference counterpart): sampled
+        # U-statistic KSD with CPT-factored scores (engines/sampled.py).
+        from ..engines import SampledKSDVariationalInference
+
+        model = SampledKSDVariationalInference(
+            bn, latent, list(observed.keys()), qbm_ansatz_layers=layers,
+            qbm_ansatz_type="hardware_efficient",
+            qbm_init_method="small_random", num_samples=1024, seed=seed,
+        )
+        history = model.train(observed, num_epochs=num_epochs,
+                              lr_born_machine=lr, verbose=verbose,
+                              true_posterior_for_tvd=posterior,
+                              gradient_clip_norm=10.0,
+                              chunk_epochs=50 if num_qubits >= 20 else None)
     else:
         raise ValueError(f"unknown objective {objective!r}")
 

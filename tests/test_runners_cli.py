@@ -72,3 +72,10 @@ def test_stability_plot(tmp_path):
     plot_posterior_comparison({(0,): 0.3, (1,): 0.7}, {(0,): 0.25, (1,): 0.75},
                               save_path=str(tmp_path / "bar.png"))
     assert (tmp_path / "bar.png").exists()
+
+
+def test_scale_sampled_ksd_objective():
+    out = run_scale_experiment(num_qubits=5, layers=2, num_epochs=15,
+                               objective="sampled-ksd", verbose=False)
+    import numpy as np
+    assert np.isfinite(np.asarray(out["history"]["loss_ksd"])).all()

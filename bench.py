@@ -90,7 +90,10 @@ def main():
     latent = [f"V{i}" for i in range(n)]
     t = bn.conditional_joint_table(latent, {f"V{n}": 1})
     S = score_table(t)
-    op = SteinOperator(S, n, dense=False, use_pallas=True)
+    # Default (non-pallas) operator: at n=16 stein_matvec picks the
+    # two-big-dots 2D split — measured faster than both the fused Pallas
+    # matvec kernel and the grouped path (RESULTS.md optimization log).
+    op = SteinOperator(S, n, dense=False)
 
     # Prefer the fused Pallas circuit kernels; fall back to the pure-XLA
     # blocked executor if the backend rejects them.

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .precision import _kernel_precision
+
 from ...sim.blocked import _chain_gates, _cz_pairs
 from ...sim.blocked2d import _h_wall, _kron_h, _perm_matrix
 from ...sim.gates import rot_zy_batched, rot_zyx_batched, batched_kron
@@ -84,19 +86,19 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
         f32 = jnp.float32
 
         def cdot_left(a_re, a_im, x_re, x_im):
-            yr = (jnp.dot(a_re, x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                  - jnp.dot(a_im, x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
-            yi = (jnp.dot(a_re, x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                  + jnp.dot(a_im, x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
+            yr = (jnp.dot(a_re, x_re, preferred_element_type=f32, precision=_kernel_precision())
+                  - jnp.dot(a_im, x_im, preferred_element_type=f32, precision=_kernel_precision()))
+            yi = (jnp.dot(a_re, x_im, preferred_element_type=f32, precision=_kernel_precision())
+                  + jnp.dot(a_im, x_re, preferred_element_type=f32, precision=_kernel_precision()))
             return yr, yi
 
         def rdot_right(x_re, x_im, b):  # X @ Bᵀ with real B
-            return (jnp.dot(x_re, b.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST),
-                    jnp.dot(x_im, b.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
+            return (jnp.dot(x_re, b.T, preferred_element_type=f32, precision=_kernel_precision()),
+                    jnp.dot(x_im, b.T, preferred_element_type=f32, precision=_kernel_precision()))
 
         def rdot_left(b, x_re, x_im):  # real B @ X
-            return (jnp.dot(b, x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST),
-                    jnp.dot(b, x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
+            return (jnp.dot(b, x_re, preferred_element_type=f32, precision=_kernel_precision()),
+                    jnp.dot(b, x_im, preferred_element_type=f32, precision=_kernel_precision()))
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
@@ -112,10 +114,10 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
             mc_re = mc_re_ref[layer]
             mc_im = mc_im_ref[layer]
             # X @ Mcᵀ (complex): (Xr + iXi)(Mr - ... careful: (X @ Mᵀ):
-            yr = (jnp.dot(x_re, mc_re.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                  - jnp.dot(x_im, mc_im.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
-            yi = (jnp.dot(x_re, mc_im.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                  + jnp.dot(x_im, mc_re.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
+            yr = (jnp.dot(x_re, mc_re.T, preferred_element_type=f32, precision=_kernel_precision())
+                  - jnp.dot(x_im, mc_im.T, preferred_element_type=f32, precision=_kernel_precision()))
+            yi = (jnp.dot(x_re, mc_im.T, preferred_element_type=f32, precision=_kernel_precision())
+                  + jnp.dot(x_im, mc_re.T, preferred_element_type=f32, precision=_kernel_precision()))
             x_re, x_im = yr, yi
             if has_chain:
                 x_re, x_im = rdot_left(rb_ref[1], x_re, x_im)  # row perm
@@ -148,10 +150,10 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
         x_re = jnp.where((row_ids + col_ids) == 0, 1.0, 0.0).astype(f32)
         x_im = jnp.zeros((R, C), dtype=f32)
         if has_wall:
-            x_re = jnp.dot(rb_ref[0], x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-            x_im = jnp.dot(rb_ref[0], x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-            x_re = jnp.dot(x_re, cb_ref[0].T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-            x_im = jnp.dot(x_im, cb_ref[0].T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+            x_re = jnp.dot(rb_ref[0], x_re, preferred_element_type=f32, precision=_kernel_precision())
+            x_im = jnp.dot(rb_ref[0], x_im, preferred_element_type=f32, precision=_kernel_precision())
+            x_re = jnp.dot(x_re, cb_ref[0].T, preferred_element_type=f32, precision=_kernel_precision())
+            x_im = jnp.dot(x_im, cb_ref[0].T, preferred_element_type=f32, precision=_kernel_precision())
         for layer in range(layers):
             x_re, x_im = _apply_layer(layer, x_re, x_im,
                                       mr_re_ref[layer], mr_im_ref[layer],
@@ -163,35 +165,35 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
 
     def _apply_layer(layer, x_re, x_im, mr_re, mr_im, mc_re, mc_im, rb_ref, cb_ref):
         f32 = jnp.float32
-        yr = (jnp.dot(mr_re, x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-              - jnp.dot(mr_im, x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
-        yi = (jnp.dot(mr_re, x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-              + jnp.dot(mr_im, x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
+        yr = (jnp.dot(mr_re, x_re, preferred_element_type=f32, precision=_kernel_precision())
+              - jnp.dot(mr_im, x_im, preferred_element_type=f32, precision=_kernel_precision()))
+        yi = (jnp.dot(mr_re, x_im, preferred_element_type=f32, precision=_kernel_precision())
+              + jnp.dot(mr_im, x_re, preferred_element_type=f32, precision=_kernel_precision()))
         x_re, x_im = yr, yi
-        yr = (jnp.dot(x_re, mc_re.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-              - jnp.dot(x_im, mc_im.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
-        yi = (jnp.dot(x_re, mc_im.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-              + jnp.dot(x_im, mc_re.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
+        yr = (jnp.dot(x_re, mc_re.T, preferred_element_type=f32, precision=_kernel_precision())
+              - jnp.dot(x_im, mc_im.T, preferred_element_type=f32, precision=_kernel_precision()))
+        yi = (jnp.dot(x_re, mc_im.T, preferred_element_type=f32, precision=_kernel_precision())
+              + jnp.dot(x_im, mc_re.T, preferred_element_type=f32, precision=_kernel_precision()))
         x_re, x_im = yr, yi
         if has_chain:
-            x_re = jnp.dot(rb_ref[1], x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-            x_im = jnp.dot(rb_ref[1], x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+            x_re = jnp.dot(rb_ref[1], x_re, preferred_element_type=f32, precision=_kernel_precision())
+            x_im = jnp.dot(rb_ref[1], x_im, preferred_element_type=f32, precision=_kernel_precision())
             if boundary:
-                x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+                x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
+                x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
                 s = _sign_mask_expr(rb, cb, boundary)
                 x_re, x_im = x_re * s, x_im * s
-                x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-            x_re = jnp.dot(x_re, cb_ref[1].T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-            x_im = jnp.dot(x_im, cb_ref[1].T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+                x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
+                x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
+            x_re = jnp.dot(x_re, cb_ref[1].T, preferred_element_type=f32, precision=_kernel_precision())
+            x_im = jnp.dot(x_im, cb_ref[1].T, preferred_element_type=f32, precision=_kernel_precision())
             if ring:
-                x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+                x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32, precision=_kernel_precision())
+                x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32, precision=_kernel_precision())
                 s = _sign_mask_expr(rb, cb, [(n - 1, 0)])
                 x_re, x_im = x_re * s, x_im * s
-                x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+                x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32, precision=_kernel_precision())
+                x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32, precision=_kernel_precision())
         if cz_layer_pairs[layer]:
             s = _sign_mask_expr(rb, cb, cz_layer_pairs[layer])
             x_re, x_im = x_re * s, x_im * s
@@ -217,71 +219,71 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
                 if ring:
                     s = _sign_mask_expr(rb, cb, [(n - 1, 0)])
                     # undo: H (symmetric orthogonal), mask, H
-                    x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                    x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                    l_re = jnp.dot(rb_ref[2], l_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                    l_im = jnp.dot(rb_ref[2], l_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+                    x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32, precision=_kernel_precision())
+                    x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32, precision=_kernel_precision())
+                    l_re = jnp.dot(rb_ref[2], l_re, preferred_element_type=f32, precision=_kernel_precision())
+                    l_im = jnp.dot(rb_ref[2], l_im, preferred_element_type=f32, precision=_kernel_precision())
                     x_re, x_im = x_re * s, x_im * s
                     l_re, l_im = l_re * s, l_im * s
-                    x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                    x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                    l_re = jnp.dot(rb_ref[2], l_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                    l_im = jnp.dot(rb_ref[2], l_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+                    x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32, precision=_kernel_precision())
+                    x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32, precision=_kernel_precision())
+                    l_re = jnp.dot(rb_ref[2], l_re, preferred_element_type=f32, precision=_kernel_precision())
+                    l_im = jnp.dot(rb_ref[2], l_im, preferred_element_type=f32, precision=_kernel_precision())
                 # undo col perm: forward was X @ Pᵀ -> inverse X @ P;
                 # cotangent of (X @ Pᵀ) pulls back as λ @ P.
-                x_re = jnp.dot(x_re, cb_ref[1], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                x_im = jnp.dot(x_im, cb_ref[1], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                l_re = jnp.dot(l_re, cb_ref[1], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                l_im = jnp.dot(l_im, cb_ref[1], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+                x_re = jnp.dot(x_re, cb_ref[1], preferred_element_type=f32, precision=_kernel_precision())
+                x_im = jnp.dot(x_im, cb_ref[1], preferred_element_type=f32, precision=_kernel_precision())
+                l_re = jnp.dot(l_re, cb_ref[1], preferred_element_type=f32, precision=_kernel_precision())
+                l_im = jnp.dot(l_im, cb_ref[1], preferred_element_type=f32, precision=_kernel_precision())
                 if boundary:
                     s = _sign_mask_expr(rb, cb, boundary)
-                    x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                    x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                    l_re = jnp.dot(l_re, cb_ref[2], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                    l_im = jnp.dot(l_im, cb_ref[2], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+                    x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
+                    x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
+                    l_re = jnp.dot(l_re, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
+                    l_im = jnp.dot(l_im, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
                     x_re, x_im = x_re * s, x_im * s
                     l_re, l_im = l_re * s, l_im * s
-                    x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                    x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                    l_re = jnp.dot(l_re, cb_ref[2], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                    l_im = jnp.dot(l_im, cb_ref[2], preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+                    x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
+                    x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
+                    l_re = jnp.dot(l_re, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
+                    l_im = jnp.dot(l_im, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
                 # undo row perm: forward P @ X -> inverse Pᵀ @ X; λ -> Pᵀ @ λ.
-                x_re = jnp.dot(rb_ref[1].T, x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                x_im = jnp.dot(rb_ref[1].T, x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                l_re = jnp.dot(rb_ref[1].T, l_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                l_im = jnp.dot(rb_ref[1].T, l_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
+                x_re = jnp.dot(rb_ref[1].T, x_re, preferred_element_type=f32, precision=_kernel_precision())
+                x_im = jnp.dot(rb_ref[1].T, x_im, preferred_element_type=f32, precision=_kernel_precision())
+                l_re = jnp.dot(rb_ref[1].T, l_re, preferred_element_type=f32, precision=_kernel_precision())
+                l_im = jnp.dot(rb_ref[1].T, l_im, preferred_element_type=f32, precision=_kernel_precision())
             # ---- col rotation: forward X_after = X_before @ Mcᵀ (complex).
             mc_re, mc_im = mc_re_ref[layer], mc_im_ref[layer]
             # X_before = X_after @ conj(Mc)  (unitary inverse)
-            xb_re = (jnp.dot(x_re, mc_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                     + jnp.dot(x_im, mc_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
-            xb_im = (-jnp.dot(x_re, mc_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                     + jnp.dot(x_im, mc_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
+            xb_re = (jnp.dot(x_re, mc_re, preferred_element_type=f32, precision=_kernel_precision())
+                     + jnp.dot(x_im, mc_im, preferred_element_type=f32, precision=_kernel_precision()))
+            xb_im = (-jnp.dot(x_re, mc_im, preferred_element_type=f32, precision=_kernel_precision())
+                     + jnp.dot(x_im, mc_re, preferred_element_type=f32, precision=_kernel_precision()))
             # grads: yr = xr@mc_reᵀ - xi@mc_imᵀ ; yi = xr@mc_imᵀ + xi@mc_reᵀ
-            dmc_re_ref[layer] = (jnp.dot(l_re.T, xb_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                                 + jnp.dot(l_im.T, xb_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
-            dmc_im_ref[layer] = (-jnp.dot(l_re.T, xb_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                                 + jnp.dot(l_im.T, xb_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
+            dmc_re_ref[layer] = (jnp.dot(l_re.T, xb_re, preferred_element_type=f32, precision=_kernel_precision())
+                                 + jnp.dot(l_im.T, xb_im, preferred_element_type=f32, precision=_kernel_precision()))
+            dmc_im_ref[layer] = (-jnp.dot(l_re.T, xb_im, preferred_element_type=f32, precision=_kernel_precision())
+                                 + jnp.dot(l_im.T, xb_re, preferred_element_type=f32, precision=_kernel_precision()))
             # λ_before = pullback through right-mult
-            lb_re = (jnp.dot(l_re, mc_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                     + jnp.dot(l_im, mc_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
-            lb_im = (-jnp.dot(l_re, mc_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                     + jnp.dot(l_im, mc_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
+            lb_re = (jnp.dot(l_re, mc_re, preferred_element_type=f32, precision=_kernel_precision())
+                     + jnp.dot(l_im, mc_im, preferred_element_type=f32, precision=_kernel_precision()))
+            lb_im = (-jnp.dot(l_re, mc_im, preferred_element_type=f32, precision=_kernel_precision())
+                     + jnp.dot(l_im, mc_re, preferred_element_type=f32, precision=_kernel_precision()))
             x_re, x_im, l_re, l_im = xb_re, xb_im, lb_re, lb_im
             # ---- row rotation: forward X_after = Mr @ X_before (complex).
             mr_re, mr_im = mr_re_ref[layer], mr_im_ref[layer]
-            xb_re = (jnp.dot(mr_re.T, x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                     + jnp.dot(mr_im.T, x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
-            xb_im = (jnp.dot(mr_re.T, x_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                     - jnp.dot(mr_im.T, x_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
-            dmr_re_ref[layer] = (jnp.dot(l_re, xb_re.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                                 + jnp.dot(l_im, xb_im.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
-            dmr_im_ref[layer] = (-jnp.dot(l_re, xb_im.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                                 + jnp.dot(l_im, xb_re.T, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
-            lb_re = (jnp.dot(mr_re.T, l_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                     + jnp.dot(mr_im.T, l_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
-            lb_im = (jnp.dot(mr_re.T, l_im, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST)
-                     - jnp.dot(mr_im.T, l_re, preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST))
+            xb_re = (jnp.dot(mr_re.T, x_re, preferred_element_type=f32, precision=_kernel_precision())
+                     + jnp.dot(mr_im.T, x_im, preferred_element_type=f32, precision=_kernel_precision()))
+            xb_im = (jnp.dot(mr_re.T, x_im, preferred_element_type=f32, precision=_kernel_precision())
+                     - jnp.dot(mr_im.T, x_re, preferred_element_type=f32, precision=_kernel_precision()))
+            dmr_re_ref[layer] = (jnp.dot(l_re, xb_re.T, preferred_element_type=f32, precision=_kernel_precision())
+                                 + jnp.dot(l_im, xb_im.T, preferred_element_type=f32, precision=_kernel_precision()))
+            dmr_im_ref[layer] = (-jnp.dot(l_re, xb_im.T, preferred_element_type=f32, precision=_kernel_precision())
+                                 + jnp.dot(l_im, xb_re.T, preferred_element_type=f32, precision=_kernel_precision()))
+            lb_re = (jnp.dot(mr_re.T, l_re, preferred_element_type=f32, precision=_kernel_precision())
+                     + jnp.dot(mr_im.T, l_im, preferred_element_type=f32, precision=_kernel_precision()))
+            lb_im = (jnp.dot(mr_re.T, l_im, preferred_element_type=f32, precision=_kernel_precision())
+                     - jnp.dot(mr_im.T, l_re, preferred_element_type=f32, precision=_kernel_precision()))
             x_re, x_im, l_re, l_im = xb_re, xb_im, lb_re, lb_im
 
     row_bank_j = jnp.asarray(row_bank)

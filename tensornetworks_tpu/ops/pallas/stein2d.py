@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .precision import _kernel_precision
+
 from ..hamming import decay_factor
 from ..kron import kron_power_np
 
@@ -49,9 +51,9 @@ def make_pallas_stein2d_matvec(num_vars: int, length_scale: float = 1.0,
             # contractions through bf16 passes (~3e-3 relative error), which
             # is too lossy for KSD gradients near convergence.
             x = jnp.dot(ar_ref[:], x, preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_kernel_precision())
             x = jnp.dot(x, ac_ref[:].T, preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_kernel_precision())
             y_ref[pl.ds(i * R, R), :] = x
             return 0
 
@@ -119,9 +121,9 @@ def make_pallas_stein2d_matvec_grid(num_vars: int, length_scale: float = 1.0,
     def kernel(ar_ref, ac_ref, v_ref, y_ref):
         f32 = jnp.float32
         x = jnp.dot(ar_ref[:], v_ref[:], preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_kernel_precision())
         y_ref[:] = jnp.dot(x, ac_ref[:].T, preferred_element_type=f32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_kernel_precision())
 
     def kron_apply_all(V3_flat: jnp.ndarray) -> jnp.ndarray:
         return pl.pallas_call(

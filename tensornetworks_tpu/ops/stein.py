@@ -118,6 +118,26 @@ def stein_gram_dense(S, num_vars: int, length_scale: float = 1.0, dtype=jnp.floa
 # ------------------------------------------------------------ matvec (large n)
 
 
+def _kron_apply_2d(V: jnp.ndarray, A: np.ndarray, n: int) -> jnp.ndarray:
+    """Apply K = A^{⊗n} to every row of ``V`` (rows layout, (3n+1, 2^n)) via
+    the two-sided split K = A^{⊗rb} ⊗ A^{⊗cb}: each row viewed as an (R, C)
+    matrix gives ``Ar @ X @ Acᵀ``. Batched as TWO whole-batch MXU dots with
+    lane-preserving relayouts between — the fastest n≈16 formulation measured
+    (the fused Pallas kernel loops 3n+1 small dots; Mosaic's no-lane-reshape
+    rule forbids this batching in-kernel, XLA does it natively)."""
+    cols = V.shape[0]
+    rb = (n + 1) // 2
+    cb = n - rb
+    R, C = 1 << rb, 1 << cb
+    Ar = jnp.asarray(kron_power_np(A, rb), dtype=V.dtype)
+    Ac = jnp.asarray(kron_power_np(A, cb), dtype=V.dtype)
+    X = V.reshape(cols, R, C).transpose(1, 0, 2).reshape(R, cols * C)
+    L = Ar @ X
+    Rcat = L.reshape(R, cols, C).transpose(1, 0, 2).reshape(cols * R, C)
+    Y = Rcat @ Ac.T
+    return Y.reshape(cols, 1 << n)
+
+
 def stein_matvec(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray, num_vars: int,
                  length_scale: float = 1.0, group: int = 7,
                  compute_dtype=None) -> jnp.ndarray:
@@ -133,16 +153,21 @@ def stein_matvec(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray, num_vars: int,
     a = decay_factor(n, length_scale)
     A = np.array([[1.0, a], [a, 1.0]])
     # Layout choice (measured on v5e): the column layout (2^n, 3n+1) wins at
-    # moderate n; the row layout (3n+1, 2^n) — state extent on the lane axis
-    # in every grouped pass — wins from n ≥ 18. (Also measured: the two-sided
-    # Kronecker split Y_b = A^{⊗rb} @ X_b @ (A^{⊗cb})ᵀ has perfect shapes but
-    # ~5x the FLOPs and lands slightly slower at n = 20 and 22.)
+    # small n; the two-sided Kronecker split Y_b = A^{⊗rb} @ X_b @ (A^{⊗cb})ᵀ
+    # as TWO whole-batch dots wins in the 13..17 window (0.285 ms vs 0.617 ms
+    # grouped and 0.350 ms fused-pallas at n = 16, in-scan); the row layout
+    # (3n+1, 2^n) — state extent on the lane axis in every grouped pass —
+    # wins from n ≥ 18, where the 2D split's (R + C) FLOP factor blows up
+    # (~4x the grouped FLOPs at n = 18; measured slower at n = 20 and 22).
+    use_2d = 13 <= n <= 17
     use_rows = n >= 18
-    if use_rows:
+    if use_rows or use_2d:
         St, Bt = S.T, B.T
         SBt = St * Bt
         V = jnp.concatenate([q[None, :], Bt * q, St * q, SBt * q], axis=0)
-        if compute_dtype is not None:
+        if use_2d:
+            Y = _kron_apply_2d(V, A, n)
+        elif compute_dtype is not None:
             Y = kron_matvec_rows(V.astype(compute_dtype), A, n, group=group).astype(V.dtype)
         else:
             Y = kron_matvec_rows(V, A, n, group=group)

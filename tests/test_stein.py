@@ -236,3 +236,30 @@ def test_stein_matvec_row_layout_large_n():
               - 2 * (1 / a - a) * (h * P0 + P.sum(1) - 2 * (B * P).sum(1)))
     np.testing.assert_allclose(np.asarray(y_rows), np.asarray(y_cols),
                                rtol=2e-4, atol=2e-4 * float(jnp.abs(y_cols).max()))
+
+
+def test_matvec_2d_window_matches_grouped():
+    # The 13..17 two-big-dots layout must agree with the grouped Kronecker
+    # path (and, transitively, with the dense Gram verified above).
+    import numpy as np
+    import jax.numpy as jnp
+    from tensornetworks_tpu.core import get_random_chain_network, all_bitstrings
+    from tensornetworks_tpu.ops import score_table
+    from tensornetworks_tpu.ops.hamming import decay_factor
+    from tensornetworks_tpu.ops.kron import kron_matvec_rows
+    from tensornetworks_tpu.ops.stein import _kron_apply_2d
+
+    for n in (13, 14, 15):
+        bn = get_random_chain_network(n + 1, seed=1)
+        t = bn.conditional_joint_table([f"V{i}" for i in range(n)], {f"V{n}": 1})
+        S = jnp.asarray(score_table(t))
+        B = jnp.asarray(all_bitstrings(n), dtype=S.dtype)
+        q = jnp.asarray(np.random.default_rng(n).random(2**n))
+        St, Bt = S.T, B.T
+        V = jnp.concatenate([q[None, :], Bt * q, St * q, (St * Bt) * q], axis=0)
+        a = decay_factor(n, 1.0)
+        A = np.array([[1.0, a], [a, 1.0]])
+        Y1 = np.asarray(_kron_apply_2d(V, A, n))
+        Y2 = np.asarray(kron_matvec_rows(V, A, n))
+        np.testing.assert_allclose(Y1, Y2, rtol=1e-10,
+                                   atol=1e-10 * np.abs(Y2).max())

@@ -81,60 +81,92 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
     ])  # (3, C, C)
     cz_layer_pairs = [_cz_pairs(n, layer, ansatz_type) for layer in range(layers)]
 
+    # ---- stacked-dot helpers: every multi-plane matmul runs as ONE (or two,
+    # for complex operators) MXU dots on lane-/sublane-concatenated planes —
+    # measured ~2x fewer Mosaic dots per layer than the per-plane form, at
+    # identical math. Lane concat + aligned lane slices compile natively
+    # (probed on this Mosaic build); no lane-changing reshapes are used.
+
+    def _dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=_kernel_precision())
+
+    def _left_real(Bm, planes):
+        """Bm @ p for each plane: one dot on the lane-concatenated stack."""
+        k = planes[0].shape[1]
+        Y = _dot(Bm, jnp.concatenate(planes, axis=1))
+        return tuple(Y[:, i * k:(i + 1) * k] for i in range(len(planes)))
+
+    def _right_real(planes, Bm):
+        """p @ Bm for each plane: one dot on the sublane-concatenated stack."""
+        k = planes[0].shape[0]
+        Y = _dot(jnp.concatenate(planes, axis=0), Bm)
+        return tuple(Y[i * k:(i + 1) * k] for i in range(len(planes)))
+
+    def _rot_left(m_re, m_im, planes):
+        """Complex M @ X on (re, im) plane pairs: two stacked dots."""
+        k = planes[0].shape[1]
+        S = jnp.concatenate(planes, axis=1)
+        U1, U2 = _dot(m_re, S), _dot(m_im, S)
+        u = lambda Y, i: Y[:, i * k:(i + 1) * k]
+        out = []
+        for i in range(0, len(planes), 2):
+            out.append(u(U1, i) - u(U2, i + 1))
+            out.append(u(U1, i + 1) + u(U2, i))
+        return tuple(out)
+
+    def _rot_right(planes, m_re, m_im):
+        """Complex X @ Mᵀ on (re, im) plane pairs: two stacked dots."""
+        k = planes[0].shape[0]
+        S = jnp.concatenate(planes, axis=0)
+        U1, U2 = _dot(S, m_re.T), _dot(S, m_im.T)
+        u = lambda Y, i: Y[i * k:(i + 1) * k]
+        out = []
+        for i in range(0, len(planes), 2):
+            out.append(u(U1, i) - u(U2, i + 1))
+            out.append(u(U1, i + 1) + u(U2, i))
+        return tuple(out)
+
+    def _rot_right_conj(planes, m_re, m_im):
+        """Complex X @ conj(M) (the unitary inverse / cotangent pullback of
+        the right rotation): two stacked dots."""
+        k = planes[0].shape[0]
+        S = jnp.concatenate(planes, axis=0)
+        U1, U2 = _dot(S, m_re), _dot(S, m_im)
+        u = lambda Y, i: Y[i * k:(i + 1) * k]
+        out = []
+        for i in range(0, len(planes), 2):
+            out.append(u(U1, i) + u(U2, i + 1))
+            out.append(u(U1, i + 1) - u(U2, i))
+        return tuple(out)
+
+    def _rot_left_conjT(m_re, m_im, planes):
+        """Complex M† @ X (inverse / pullback of the left rotation)."""
+        k = planes[0].shape[1]
+        S = jnp.concatenate(planes, axis=1)
+        U1, U2 = _dot(m_re.T, S), _dot(m_im.T, S)
+        u = lambda Y, i: Y[:, i * k:(i + 1) * k]
+        out = []
+        for i in range(0, len(planes), 2):
+            out.append(u(U1, i) + u(U2, i + 1))
+            out.append(u(U1, i + 1) - u(U2, i))
+        return tuple(out)
+
     def kernel(mr_re_ref, mr_im_ref, mc_re_ref, mc_im_ref, rb_ref, cb_ref,
                probs_ref):
         f32 = jnp.float32
-
-        def cdot_left(a_re, a_im, x_re, x_im):
-            yr = (jnp.dot(a_re, x_re, preferred_element_type=f32, precision=_kernel_precision())
-                  - jnp.dot(a_im, x_im, preferred_element_type=f32, precision=_kernel_precision()))
-            yi = (jnp.dot(a_re, x_im, preferred_element_type=f32, precision=_kernel_precision())
-                  + jnp.dot(a_im, x_re, preferred_element_type=f32, precision=_kernel_precision()))
-            return yr, yi
-
-        def rdot_right(x_re, x_im, b):  # X @ Bᵀ with real B
-            return (jnp.dot(x_re, b.T, preferred_element_type=f32, precision=_kernel_precision()),
-                    jnp.dot(x_im, b.T, preferred_element_type=f32, precision=_kernel_precision()))
-
-        def rdot_left(b, x_re, x_im):  # real B @ X
-            return (jnp.dot(b, x_re, preferred_element_type=f32, precision=_kernel_precision()),
-                    jnp.dot(b, x_im, preferred_element_type=f32, precision=_kernel_precision()))
-
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
         x_re = jnp.where((row_ids + col_ids) == 0, 1.0, 0.0).astype(f32)
         x_im = jnp.zeros((R, C), dtype=f32)
         if has_wall:
-            x_re, x_im = rdot_left(rb_ref[0], x_re, x_im)
-            x_re, x_im = rdot_right(x_re, x_im, cb_ref[0])
+            x_re, x_im = _left_real(rb_ref[0], (x_re, x_im))
+            x_re, x_im = _right_real((x_re, x_im), cb_ref[0].T)
         for layer in range(layers):
-            mr_re = mr_re_ref[layer]
-            mr_im = mr_im_ref[layer]
-            x_re, x_im = cdot_left(mr_re, mr_im, x_re, x_im)
-            mc_re = mc_re_ref[layer]
-            mc_im = mc_im_ref[layer]
-            # X @ Mcᵀ (complex): (Xr + iXi)(Mr - ... careful: (X @ Mᵀ):
-            yr = (jnp.dot(x_re, mc_re.T, preferred_element_type=f32, precision=_kernel_precision())
-                  - jnp.dot(x_im, mc_im.T, preferred_element_type=f32, precision=_kernel_precision()))
-            yi = (jnp.dot(x_re, mc_im.T, preferred_element_type=f32, precision=_kernel_precision())
-                  + jnp.dot(x_im, mc_re.T, preferred_element_type=f32, precision=_kernel_precision()))
-            x_re, x_im = yr, yi
-            if has_chain:
-                x_re, x_im = rdot_left(rb_ref[1], x_re, x_im)  # row perm
-                if boundary:
-                    x_re, x_im = rdot_right(x_re, x_im, cb_ref[2])
-                    s = _sign_mask_expr(rb, cb, boundary)
-                    x_re, x_im = x_re * s, x_im * s
-                    x_re, x_im = rdot_right(x_re, x_im, cb_ref[2])
-                x_re, x_im = rdot_right(x_re, x_im, cb_ref[1])  # col perm
-                if ring:
-                    x_re, x_im = rdot_left(rb_ref[2], x_re, x_im)
-                    s = _sign_mask_expr(rb, cb, [(n - 1, 0)])
-                    x_re, x_im = x_re * s, x_im * s
-                    x_re, x_im = rdot_left(rb_ref[2], x_re, x_im)
-            if cz_layer_pairs[layer]:
-                s = _sign_mask_expr(rb, cb, cz_layer_pairs[layer])
-                x_re, x_im = x_re * s, x_im * s
+            x_re, x_im = _apply_layer(layer, x_re, x_im,
+                                      mr_re_ref[layer], mr_im_ref[layer],
+                                      mc_re_ref[layer], mc_im_ref[layer],
+                                      rb_ref, cb_ref)
         probs_ref[:] = x_re * x_re + x_im * x_im
 
     # NOTE: the row-chain permutation is NOT folded into the rotation matrix
@@ -150,10 +182,8 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
         x_re = jnp.where((row_ids + col_ids) == 0, 1.0, 0.0).astype(f32)
         x_im = jnp.zeros((R, C), dtype=f32)
         if has_wall:
-            x_re = jnp.dot(rb_ref[0], x_re, preferred_element_type=f32, precision=_kernel_precision())
-            x_im = jnp.dot(rb_ref[0], x_im, preferred_element_type=f32, precision=_kernel_precision())
-            x_re = jnp.dot(x_re, cb_ref[0].T, preferred_element_type=f32, precision=_kernel_precision())
-            x_im = jnp.dot(x_im, cb_ref[0].T, preferred_element_type=f32, precision=_kernel_precision())
+            x_re, x_im = _left_real(rb_ref[0], (x_re, x_im))
+            x_re, x_im = _right_real((x_re, x_im), cb_ref[0].T)
         for layer in range(layers):
             x_re, x_im = _apply_layer(layer, x_re, x_im,
                                       mr_re_ref[layer], mr_im_ref[layer],
@@ -164,36 +194,22 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
         xi_ref[:] = x_im
 
     def _apply_layer(layer, x_re, x_im, mr_re, mr_im, mc_re, mc_im, rb_ref, cb_ref):
-        f32 = jnp.float32
-        yr = (jnp.dot(mr_re, x_re, preferred_element_type=f32, precision=_kernel_precision())
-              - jnp.dot(mr_im, x_im, preferred_element_type=f32, precision=_kernel_precision()))
-        yi = (jnp.dot(mr_re, x_im, preferred_element_type=f32, precision=_kernel_precision())
-              + jnp.dot(mr_im, x_re, preferred_element_type=f32, precision=_kernel_precision()))
-        x_re, x_im = yr, yi
-        yr = (jnp.dot(x_re, mc_re.T, preferred_element_type=f32, precision=_kernel_precision())
-              - jnp.dot(x_im, mc_im.T, preferred_element_type=f32, precision=_kernel_precision()))
-        yi = (jnp.dot(x_re, mc_im.T, preferred_element_type=f32, precision=_kernel_precision())
-              + jnp.dot(x_im, mc_re.T, preferred_element_type=f32, precision=_kernel_precision()))
-        x_re, x_im = yr, yi
+        x_re, x_im = _rot_left(mr_re, mr_im, (x_re, x_im))
+        x_re, x_im = _rot_right((x_re, x_im), mc_re, mc_im)
         if has_chain:
-            x_re = jnp.dot(rb_ref[1], x_re, preferred_element_type=f32, precision=_kernel_precision())
-            x_im = jnp.dot(rb_ref[1], x_im, preferred_element_type=f32, precision=_kernel_precision())
+            x_re, x_im = _left_real(rb_ref[1], (x_re, x_im))
             if boundary:
-                x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
-                x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
+                # cb_ref[2] (H on the leading column qubit) is symmetric.
+                x_re, x_im = _right_real((x_re, x_im), cb_ref[2])
                 s = _sign_mask_expr(rb, cb, boundary)
                 x_re, x_im = x_re * s, x_im * s
-                x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
-                x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
-            x_re = jnp.dot(x_re, cb_ref[1].T, preferred_element_type=f32, precision=_kernel_precision())
-            x_im = jnp.dot(x_im, cb_ref[1].T, preferred_element_type=f32, precision=_kernel_precision())
+                x_re, x_im = _right_real((x_re, x_im), cb_ref[2])
+            x_re, x_im = _right_real((x_re, x_im), cb_ref[1].T)
             if ring:
-                x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32, precision=_kernel_precision())
-                x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32, precision=_kernel_precision())
+                x_re, x_im = _left_real(rb_ref[2], (x_re, x_im))
                 s = _sign_mask_expr(rb, cb, [(n - 1, 0)])
                 x_re, x_im = x_re * s, x_im * s
-                x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32, precision=_kernel_precision())
-                x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32, precision=_kernel_precision())
+                x_re, x_im = _left_real(rb_ref[2], (x_re, x_im))
         if cz_layer_pairs[layer]:
             s = _sign_mask_expr(rb, cb, cz_layer_pairs[layer])
             x_re, x_im = x_re * s, x_im * s
@@ -204,8 +220,10 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
                    dmr_re_ref, dmr_im_ref, dmc_re_ref, dmc_im_ref):
         """Adjoint sweep: reverse the circuit, pulling the state back with
         inverse (unitary-transpose) ops and the cotangent with transposed
-        ops, emitting per-layer rotation-matrix gradients."""
-        f32 = jnp.float32
+        ops, emitting per-layer rotation-matrix gradients. The state and
+        cotangent planes pull back under the SAME operators, so all four
+        planes ride one stacked dot per op (the gradient outer products
+        stack the two (re, im) contractions the same way)."""
         x_re, x_im = xr_ref[:], xi_ref[:]
         g = g_ref[:]
         l_re, l_im = 2.0 * g * x_re, 2.0 * g * x_im
@@ -219,71 +237,45 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
                 if ring:
                     s = _sign_mask_expr(rb, cb, [(n - 1, 0)])
                     # undo: H (symmetric orthogonal), mask, H
-                    x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32, precision=_kernel_precision())
-                    x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32, precision=_kernel_precision())
-                    l_re = jnp.dot(rb_ref[2], l_re, preferred_element_type=f32, precision=_kernel_precision())
-                    l_im = jnp.dot(rb_ref[2], l_im, preferred_element_type=f32, precision=_kernel_precision())
+                    x_re, x_im, l_re, l_im = _left_real(
+                        rb_ref[2], (x_re, x_im, l_re, l_im))
                     x_re, x_im = x_re * s, x_im * s
                     l_re, l_im = l_re * s, l_im * s
-                    x_re = jnp.dot(rb_ref[2], x_re, preferred_element_type=f32, precision=_kernel_precision())
-                    x_im = jnp.dot(rb_ref[2], x_im, preferred_element_type=f32, precision=_kernel_precision())
-                    l_re = jnp.dot(rb_ref[2], l_re, preferred_element_type=f32, precision=_kernel_precision())
-                    l_im = jnp.dot(rb_ref[2], l_im, preferred_element_type=f32, precision=_kernel_precision())
+                    x_re, x_im, l_re, l_im = _left_real(
+                        rb_ref[2], (x_re, x_im, l_re, l_im))
                 # undo col perm: forward was X @ Pᵀ -> inverse X @ P;
                 # cotangent of (X @ Pᵀ) pulls back as λ @ P.
-                x_re = jnp.dot(x_re, cb_ref[1], preferred_element_type=f32, precision=_kernel_precision())
-                x_im = jnp.dot(x_im, cb_ref[1], preferred_element_type=f32, precision=_kernel_precision())
-                l_re = jnp.dot(l_re, cb_ref[1], preferred_element_type=f32, precision=_kernel_precision())
-                l_im = jnp.dot(l_im, cb_ref[1], preferred_element_type=f32, precision=_kernel_precision())
+                x_re, x_im, l_re, l_im = _right_real(
+                    (x_re, x_im, l_re, l_im), cb_ref[1])
                 if boundary:
                     s = _sign_mask_expr(rb, cb, boundary)
-                    x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
-                    x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
-                    l_re = jnp.dot(l_re, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
-                    l_im = jnp.dot(l_im, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
+                    x_re, x_im, l_re, l_im = _right_real(
+                        (x_re, x_im, l_re, l_im), cb_ref[2])
                     x_re, x_im = x_re * s, x_im * s
                     l_re, l_im = l_re * s, l_im * s
-                    x_re = jnp.dot(x_re, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
-                    x_im = jnp.dot(x_im, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
-                    l_re = jnp.dot(l_re, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
-                    l_im = jnp.dot(l_im, cb_ref[2], preferred_element_type=f32, precision=_kernel_precision())
+                    x_re, x_im, l_re, l_im = _right_real(
+                        (x_re, x_im, l_re, l_im), cb_ref[2])
                 # undo row perm: forward P @ X -> inverse Pᵀ @ X; λ -> Pᵀ @ λ.
-                x_re = jnp.dot(rb_ref[1].T, x_re, preferred_element_type=f32, precision=_kernel_precision())
-                x_im = jnp.dot(rb_ref[1].T, x_im, preferred_element_type=f32, precision=_kernel_precision())
-                l_re = jnp.dot(rb_ref[1].T, l_re, preferred_element_type=f32, precision=_kernel_precision())
-                l_im = jnp.dot(rb_ref[1].T, l_im, preferred_element_type=f32, precision=_kernel_precision())
+                x_re, x_im, l_re, l_im = _left_real(
+                    rb_ref[1].T, (x_re, x_im, l_re, l_im))
             # ---- col rotation: forward X_after = X_before @ Mcᵀ (complex).
             mc_re, mc_im = mc_re_ref[layer], mc_im_ref[layer]
-            # X_before = X_after @ conj(Mc)  (unitary inverse)
-            xb_re = (jnp.dot(x_re, mc_re, preferred_element_type=f32, precision=_kernel_precision())
-                     + jnp.dot(x_im, mc_im, preferred_element_type=f32, precision=_kernel_precision()))
-            xb_im = (-jnp.dot(x_re, mc_im, preferred_element_type=f32, precision=_kernel_precision())
-                     + jnp.dot(x_im, mc_re, preferred_element_type=f32, precision=_kernel_precision()))
-            # grads: yr = xr@mc_reᵀ - xi@mc_imᵀ ; yi = xr@mc_imᵀ + xi@mc_reᵀ
-            dmc_re_ref[layer] = (jnp.dot(l_re.T, xb_re, preferred_element_type=f32, precision=_kernel_precision())
-                                 + jnp.dot(l_im.T, xb_im, preferred_element_type=f32, precision=_kernel_precision()))
-            dmc_im_ref[layer] = (-jnp.dot(l_re.T, xb_im, preferred_element_type=f32, precision=_kernel_precision())
-                                 + jnp.dot(l_im.T, xb_re, preferred_element_type=f32, precision=_kernel_precision()))
-            # λ_before = pullback through right-mult
-            lb_re = (jnp.dot(l_re, mc_re, preferred_element_type=f32, precision=_kernel_precision())
-                     + jnp.dot(l_im, mc_im, preferred_element_type=f32, precision=_kernel_precision()))
-            lb_im = (-jnp.dot(l_re, mc_im, preferred_element_type=f32, precision=_kernel_precision())
-                     + jnp.dot(l_im, mc_re, preferred_element_type=f32, precision=_kernel_precision()))
+            # X_before = X_after @ conj(Mc); λ pulls back identically.
+            xb_re, xb_im, lb_re, lb_im = _rot_right_conj(
+                (x_re, x_im, l_re, l_im), mc_re, mc_im)
+            # grads: dmc_re = l_reᵀ xb_re + l_imᵀ xb_im (one stacked dot);
+            #        dmc_im = l_imᵀ xb_re - l_reᵀ xb_im.
+            Xb = jnp.concatenate([xb_re, xb_im], axis=0)
+            dmc_re_ref[layer] = _dot(jnp.concatenate([l_re, l_im], axis=0).T, Xb)
+            dmc_im_ref[layer] = _dot(jnp.concatenate([l_im, -l_re], axis=0).T, Xb)
             x_re, x_im, l_re, l_im = xb_re, xb_im, lb_re, lb_im
             # ---- row rotation: forward X_after = Mr @ X_before (complex).
             mr_re, mr_im = mr_re_ref[layer], mr_im_ref[layer]
-            xb_re = (jnp.dot(mr_re.T, x_re, preferred_element_type=f32, precision=_kernel_precision())
-                     + jnp.dot(mr_im.T, x_im, preferred_element_type=f32, precision=_kernel_precision()))
-            xb_im = (jnp.dot(mr_re.T, x_im, preferred_element_type=f32, precision=_kernel_precision())
-                     - jnp.dot(mr_im.T, x_re, preferred_element_type=f32, precision=_kernel_precision()))
-            dmr_re_ref[layer] = (jnp.dot(l_re, xb_re.T, preferred_element_type=f32, precision=_kernel_precision())
-                                 + jnp.dot(l_im, xb_im.T, preferred_element_type=f32, precision=_kernel_precision()))
-            dmr_im_ref[layer] = (-jnp.dot(l_re, xb_im.T, preferred_element_type=f32, precision=_kernel_precision())
-                                 + jnp.dot(l_im, xb_re.T, preferred_element_type=f32, precision=_kernel_precision()))
-            lb_re = (jnp.dot(mr_re.T, l_re, preferred_element_type=f32, precision=_kernel_precision())
-                     + jnp.dot(mr_im.T, l_im, preferred_element_type=f32, precision=_kernel_precision()))
-            lb_im = (jnp.dot(mr_re.T, l_im, preferred_element_type=f32, precision=_kernel_precision())
-                     - jnp.dot(mr_im.T, l_re, preferred_element_type=f32, precision=_kernel_precision()))
+            xb_re, xb_im, lb_re, lb_im = _rot_left_conjT(
+                mr_re, mr_im, (x_re, x_im, l_re, l_im))
+            XbT = jnp.concatenate([xb_re, xb_im], axis=1).T
+            dmr_re_ref[layer] = _dot(jnp.concatenate([l_re, l_im], axis=1), XbT)
+            dmr_im_ref[layer] = _dot(jnp.concatenate([l_im, -l_re], axis=1), XbT)
             x_re, x_im, l_re, l_im = xb_re, xb_im, lb_re, lb_im
 
     row_bank_j = jnp.asarray(row_bank)

@@ -359,8 +359,12 @@ class QuantumKSDVariationalInference:
                  qbm_init_method: str = "small_random",
                  base_kernel_length_scale: float = 1.0, dtype=jnp.float32,
                  dense: Optional[bool] = None, seed: int = 0,
-                 qbm_backend: str = "auto"):
+                 qbm_backend: str = "auto", qbm_edges=None):
         del qbm_pennylane_device_name  # simulator is in-framework
+        if qbm_ansatz_type == "bn_structured" and qbm_edges is None:
+            from ..sim.structured import latent_edges
+
+            qbm_edges = latent_edges(bayesian_network, latent_vars_names)
         self.bn = bayesian_network
         self.latent_vars_names = list(latent_vars_names)
         self.observed_vars_names = list(observed_vars_names)
@@ -373,7 +377,7 @@ class QuantumKSDVariationalInference:
         self.born_machine = QuantumBornMachine(
             num_latent_vars=qbm_num_latent_vars, ansatz_layers=qbm_ansatz_layers,
             conditioning_dim=qbm_conditioning_dim, ansatz_type=qbm_ansatz_type,
-            init_method=qbm_init_method, backend=qbm_backend,
+            init_method=qbm_init_method, backend=qbm_backend, edges=qbm_edges,
         )
         self.params = self.born_machine.init(jax.random.PRNGKey(seed))
         self.all_latent_states_tuples = generate_all_binary_outcomes(self.num_latent_vars)

@@ -35,18 +35,40 @@ class QuantumBornMachine:
     def __init__(self, num_latent_vars: int, ansatz_layers: int = 1,
                  conditioning_dim: int = 0, ansatz_type: str = "hardware_efficient",
                  init_method: str = "small_random", dtype=jnp.complex64,
-                 backend: str = "auto", block: int = 8):
+                 backend: str = "auto", block: int = 8, edges=None):
         """``backend``: 'blocked' (TPU-layout-friendly block-matmul executor,
         the default for n >= 6), 'einsum' (per-gate contraction path), or
-        'auto'. Both produce identical distributions (tests/test_blocked.py)."""
+        'auto'. Both produce identical distributions (tests/test_blocked.py).
+
+        ``ansatz_type="bn_structured"`` (beyond-reference): DAG-aware
+        entangling map — pass ``edges`` = (parent_qubit, child_qubit) pairs,
+        e.g. ``sim.structured.latent_edges(bn, latent_names)``. 3·L·n params;
+        at 16 qubits reaches cold-start KSD TVD 0.16 where hardware_efficient
+        stalls at 0.8 (RESULTS.md)."""
         self.num_latent_vars = num_latent_vars
         self.ansatz_layers = ansatz_layers
         self.conditioning_dim = conditioning_dim
         self.ansatz_type = ansatz_type
         self.init_method = init_method
         self.dtype = dtype
-        self.num_params = num_ansatz_params(num_latent_vars, ansatz_layers, ansatz_type)
+        self.edges = list(edges) if edges is not None else None
         self.all_outcome_tuples = generate_all_binary_outcomes(num_latent_vars)
+        if ansatz_type == "bn_structured":
+            if self.edges is None:
+                raise ValueError(
+                    "ansatz_type='bn_structured' requires edges= "
+                    "(see sim.structured.latent_edges)")
+            if conditioning_dim > 0:
+                raise ValueError("bn_structured does not support conditioning yet")
+            from ..sim.structured import make_structured_probs_fn
+
+            self.num_params = 3 * ansatz_layers * num_latent_vars
+            self._blocked_probs = make_structured_probs_fn(
+                num_latent_vars, ansatz_layers, self.edges, dtype=dtype)
+            self._blocked_state = None
+            self.backend = "structured2d"
+            return
+        self.num_params = num_ansatz_params(num_latent_vars, ansatz_layers, ansatz_type)
         ansatz_state_fn(ansatz_type)  # validate early
         if backend == "auto":
             backend = "blocked" if (num_latent_vars >= 6 or conditioning_dim > 0) else "einsum"
@@ -116,6 +138,10 @@ class QuantumBornMachine:
                 (2,) * self.num_latent_vars)
         if self._blocked_state is not None:
             return self._blocked_state(params).reshape((2,) * self.num_latent_vars)
+        if self.ansatz_type == "bn_structured":
+            raise NotImplementedError(
+                "bn_structured exposes probabilities only (its executor "
+                "works on |amplitude|^2 planes); use probs/sample/log_q")
         return ansatz_state_fn(self.ansatz_type)(params, self.num_latent_vars,
                                                  self.ansatz_layers, dtype=self.dtype)
 

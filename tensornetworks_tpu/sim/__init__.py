@@ -9,6 +9,7 @@ from .ansatz import (
     num_ansatz_params,
 )
 from .sampling import parameter_shift_jacobian, sample_bits, sample_indices
+from .structured import latent_edges, make_structured_probs_fn
 from .statevector import (
     apply_cnot,
     apply_cz,
@@ -32,6 +33,8 @@ __all__ = [
     "gates",
     "hadamard_wall",
     "hardware_efficient_state",
+    "latent_edges",
+    "make_structured_probs_fn",
     "num_ansatz_params",
     "parameter_shift_jacobian",
     "probabilities",

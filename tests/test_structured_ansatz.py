@@ -1,0 +1,81 @@
+"""DAG-structured ansatz (sim/structured.py): gate-level equivalence vs the
+generic statevector executor, QBM/engine wiring, convergence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tensornetworks_tpu.core import get_random_chain_network, get_sprinkler_network
+from tensornetworks_tpu.engines import QuantumKSDVariationalInference
+from tensornetworks_tpu.models import QuantumBornMachine
+from tensornetworks_tpu.sim import latent_edges, make_structured_probs_fn
+from tensornetworks_tpu.sim.gates import rot_zyx
+from tensornetworks_tpu.sim.statevector import (apply_cnot, apply_cz,
+                                                apply_gate, hadamard_wall,
+                                                probabilities, zero_state)
+
+
+def _reference_probs(params, n, L, edges):
+    """Same circuit via the generic per-gate executor."""
+    a = params.reshape(L, n, 3)
+    st = hadamard_wall(zero_state(n))
+    for l in range(L):
+        for q in range(n):
+            st = apply_gate(st, rot_zyx(a[l, q, 0], a[l, q, 1], a[l, q, 2]), [q])
+        for (c, t) in edges:
+            if l % 2 == 0:
+                st = apply_cnot(st, c, t)
+            else:
+                st = apply_cz(st, c, t)
+    return probabilities(st)
+
+
+@pytest.mark.parametrize("n,L", [(5, 3), (6, 2), (7, 3)])
+def test_structured_matches_generic_executor(n, L):
+    bn = get_random_chain_network(n, seed=n)
+    edges = latent_edges(bn, bn.nodes)
+    assert edges, "expected edges in the random DAG"
+    params = jnp.asarray(
+        np.random.default_rng(n + L).uniform(0, 2 * np.pi, 3 * L * n),
+        dtype=jnp.float32)
+    fn = make_structured_probs_fn(n, L, edges)
+    got = np.asarray(fn(params))
+    want = np.asarray(_reference_probs(params, n, L, edges))
+    np.testing.assert_allclose(got, want, atol=5e-6)
+    np.testing.assert_allclose(got.sum(), 1.0, atol=1e-5)
+    # gradients agree too
+    v = jnp.asarray(np.random.default_rng(1).normal(size=2**n), jnp.float32)
+    g1 = np.asarray(jax.grad(lambda p: fn(p) @ v)(params))
+    g2 = np.asarray(jax.grad(
+        lambda p: _reference_probs(p, n, L, edges).astype(jnp.float32) @ v)(params))
+    np.testing.assert_allclose(g1, g2, atol=5e-5)
+
+
+def test_qbm_structured_wiring():
+    bn = get_random_chain_network(5, seed=2)
+    edges = latent_edges(bn, bn.nodes[:4])
+    qbm = QuantumBornMachine(4, ansatz_layers=3, ansatz_type="bn_structured",
+                             edges=edges)
+    assert qbm.num_params == 3 * 3 * 4
+    p = qbm.init(jax.random.PRNGKey(0))
+    q = np.asarray(qbm.probs(p))
+    np.testing.assert_allclose(q.sum(), 1.0, atol=1e-5)
+    with pytest.raises(NotImplementedError):
+        qbm.state(p)
+    with pytest.raises(ValueError):
+        QuantumBornMachine(4, ansatz_type="bn_structured")  # no edges
+
+
+def test_engine_structured_autoderives_edges_and_converges():
+    bn = get_sprinkler_network()
+    latent = ["C", "S", "R"]
+    obs = {"W": 1}
+    post, _ = bn.get_true_posterior(latent, obs)
+    eng = QuantumKSDVariationalInference(
+        bn, latent, ["W"], qbm_num_latent_vars=3, qbm_ansatz_layers=4,
+        qbm_ansatz_type="bn_structured", seed=0)
+    assert eng.born_machine.edges  # derived from the BN automatically
+    eng.train(obs, num_epochs=600, lr_born_machine=0.02, verbose=False,
+              true_posterior_for_tvd=post)
+    assert eng.best_tvd_ < 0.05, eng.best_tvd_

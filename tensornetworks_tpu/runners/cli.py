@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--lr", type=float, default=5e-3)
     s.add_argument("--objective", type=str, default="ksd",
                    choices=["ksd", "adversarial", "sampled-ksd"])
+    s.add_argument("--ansatz", type=str, default="hardware_efficient",
+                   choices=["hardware_efficient", "all_to_all", "basic",
+                            "bn_structured"])
     s.add_argument("--seed", type=int, default=0)
     return p
 
@@ -93,7 +96,8 @@ def main(argv=None):
 
         return run_scale_experiment(num_qubits=args.qubits, layers=args.layers,
                                     num_epochs=args.epochs, lr=args.lr,
-                                    objective=args.objective, seed=args.seed)
+                                    objective=args.objective, seed=args.seed,
+                                    ansatz=args.ansatz)
     raise SystemExit(f"unknown command {args.command}")
 
 

@@ -30,7 +30,8 @@ def make_scale_problem(num_qubits: int, seed: int = 0):
 
 def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int = 200,
                          lr: float = 5e-3, objective: str = "ksd", seed: int = 0,
-                         verbose: bool = True, track_tvd: Optional[bool] = None):
+                         verbose: bool = True, track_tvd: Optional[bool] = None,
+                         ansatz: str = "hardware_efficient"):
     bn, latent, observed = make_scale_problem(num_qubits, seed)
     # Exact posterior tracking is cheap up to ~20 vars (dense 2^n vector).
     if track_tvd is None:
@@ -40,7 +41,7 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
     if objective == "ksd":
         model = QuantumKSDVariationalInference(
             bn, latent, list(observed.keys()), qbm_num_latent_vars=num_qubits,
-            qbm_ansatz_layers=layers, qbm_ansatz_type="hardware_efficient",
+            qbm_ansatz_layers=layers, qbm_ansatz_type=ansatz,
             qbm_init_method="small_random", seed=seed,
         )
         history = model.train(observed, num_epochs=num_epochs, lr_born_machine=lr,

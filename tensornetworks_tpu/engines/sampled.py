@@ -62,7 +62,7 @@ class SampledKSDVariationalInference:
                  *, qbm_ansatz_layers: int = 4,
                  qbm_ansatz_type: str = "hardware_efficient",
                  qbm_init_method: str = "small_random",
-                 qbm_backend: str = "auto",
+                 qbm_backend: str = "auto", qbm_edges=None,
                  born_machine=None,
                  base_kernel_length_scale: float = 1.0,
                  num_samples: int = 512, seed: int = 0):
@@ -73,11 +73,16 @@ class SampledKSDVariationalInference:
         self.length_scale = base_kernel_length_scale
         self.num_samples = int(num_samples)
         self.seed = seed
+        if qbm_ansatz_type == "bn_structured" and qbm_edges is None:
+            from ..sim.structured import latent_edges
+
+            qbm_edges = latent_edges(bn, self.latent_vars_names)
         self.born_machine = born_machine if born_machine is not None else (
             QuantumBornMachine(
                 num_latent_vars=self.num_latent_vars,
                 ansatz_layers=qbm_ansatz_layers, ansatz_type=qbm_ansatz_type,
-                init_method=qbm_init_method, backend=qbm_backend))
+                init_method=qbm_init_method, backend=qbm_backend,
+                edges=qbm_edges))
         self.params = self.born_machine.init(jax.random.PRNGKey(seed))
         self.history_: Optional[dict] = None
 

@@ -84,7 +84,26 @@ def make_structured_probs_fn(num_wires: int, layers: int,
     np_c = np.complex64
     H_row = [_h_at(k, rb).astype(np_c) for k in range(rb)]
     H_col = [_h_at(k, cb).astype(np_c) for k in range(cb)]
-    masks = {e: _cz_mask(*e, rb, cb).astype(np_c) for e in set(edges)}
+
+    # Exact-identity rewrites (tests compare against the edge-by-edge
+    # per-gate executor):
+    # - consecutive same-target CNOT runs merge: H_t CZ₁ H_t · H_t CZ₂ H_t
+    #   = H_t (CZ₁CZ₂) H_t, since H_t H_t = I and CZ masks are diagonal;
+    #   ``latent_edges`` emits each child's parents consecutively, so this
+    #   collapses one H pair + one mask per child instead of per edge.
+    # - odd-layer CZs all commute (diagonal): ONE precombined ±1 mask.
+    groups: List[Tuple[int, np.ndarray]] = []
+    for c, t in edges:
+        m = _cz_mask(c, t, rb, cb)
+        if groups and groups[-1][0] == t:
+            groups[-1] = (t, groups[-1][1] * m)
+        else:
+            groups.append((t, m))
+    groups = [(t, m.astype(np_c)) for t, m in groups]
+    odd_mask = np.ones((R, C), dtype=np_c)
+    for _, m in groups:
+        odd_mask = odd_mask * m
+    has_edges = bool(edges)
 
     def apply_h(X, t):
         if t < rb:
@@ -104,15 +123,15 @@ def make_structured_probs_fn(num_wires: int, layers: int,
         X = jnp.full((R, C), 1.0 / np.sqrt(float(1 << n)), dtype=dtype)
         for l in range(layers):
             X = fold(l, 0, rb) @ X @ fold(l, rb, n).T
+            if not has_edges:
+                continue
             if l % 2 == 0:
-                for e in edges:
-                    _, t = e
+                for t, m in groups:
                     X = apply_h(X, t)
-                    X = X * masks[e]
+                    X = X * m
                     X = apply_h(X, t)
             else:
-                for e in edges:
-                    X = X * masks[e]
+                X = X * odd_mask
         flat = X.reshape(-1)
         return jnp.real(flat * jnp.conj(flat))
 

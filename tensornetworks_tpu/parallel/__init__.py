@@ -14,6 +14,12 @@ from .shard_state import (
     distributed_kron_matvec,
 )
 from .distributed_ansatz import make_distributed_ansatz_probs
+from .distributed_train import (
+    make_distributed_ksd_train_step,
+    make_distributed_stein_matvec,
+    make_distributed_stein_quadform,
+    place_stein_tables,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -24,7 +30,11 @@ __all__ = [
     "distributed_apply_cz",
     "distributed_kron_matvec",
     "make_distributed_ansatz_probs",
+    "make_distributed_ksd_train_step",
+    "make_distributed_stein_matvec",
+    "make_distributed_stein_quadform",
     "make_mesh",
+    "place_stein_tables",
     "make_sharded_advi_classifier_step",
     "make_sharded_ksd_step",
     "replicated",

@@ -1,0 +1,165 @@
+"""End-to-end distributed KSD training: gradients through the state-sharded
+circuit AND the state-sharded Stein operator.
+
+This is the n-beyond-single-chip-memory training path (SURVEY.md §5.7-5.8):
+every ``2^n``-length buffer — the statevector, the probability vector q, the
+score table S, the bits table B, and all 3n+1 Kronecker matvec columns — is
+sharded over the mesh's ``state`` axis, so per-device memory scales as
+``2^n / D``. Circuit gates on global (device-axis) bits exchange partner
+shards via ``lax.ppermute`` over ICI; the Stein quadratic form mixes the
+global bits with one ``all_gather`` + per-device weighted reduction; the
+scalar loss is one ``psum``. Gradients flow through all of it — shard_map's
+AD transposes ppermute to the inverse permute and all_gather to
+psum_scatter, keeping the backward pass distributed too.
+
+The reference has no distributed support of any kind (SURVEY.md §2); this
+module is the TPU-native scaling layer built on top of the reference-parity
+semantics (loss = sqrt(clamp(qᵀ K_p q, 1e-12)), ``ksd_vi.py:133-134``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.bits import all_bitstrings
+from ..ops.hamming import decay_factor
+from ..ops.kron import kron_matvec, kron_power_np
+from .distributed_ansatz import make_distributed_ansatz_probs
+from .mesh import STATE_AXIS, state_sharding
+from .shard_state import _num_global_bits
+
+
+def make_distributed_stein_matvec(mesh: Mesh, num_vars: int,
+                                  length_scale: float = 1.0, group: int = 7):
+    """Build ``matvec(q, S, B) -> K_p @ q`` with every operand sharded over
+    the ``state`` mesh axis (q: (2^n,); S, B: (2^n, n) row-sharded).
+
+    Same closed-form recombination as ``ops.stein.stein_matvec`` (module
+    docstring there derives it), distributed: the 3n+1 weighted columns are
+    built locally (elementwise in the state index), the Kronecker base-kernel
+    apply splits into a local ``A^{⊗(n-k)}`` block matmul plus one
+    ``all_gather`` + dense per-device mixing for the k global bits, and the
+    recombination weights are again local rows.
+    """
+    k = _num_global_bits(mesh)
+    n = num_vars
+    if k > n:
+        raise ValueError(f"state axis ({1 << k} devices) exceeds 2^{n} states")
+    a = decay_factor(n, length_scale)
+    A = np.array([[1.0, a], [a, 1.0]])
+    Mk = kron_power_np(A, k)  # (D, D) global-bit mixing operator
+    local_vars = n - k
+    spec_v = P(STATE_AXIS)
+    spec_m = P(STATE_AXIS, None)
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec_v, spec_m, spec_m),
+             out_specs=spec_v)
+    def matvec(q, S, B):
+        SB = S * B
+        V = jnp.concatenate(
+            [q[:, None], B * q[:, None], S * q[:, None], SB * q[:, None]],
+            axis=1)  # (2^n/D, 3n+1)
+        if local_vars > 0:
+            V = kron_matvec(V, A, local_vars, group=group)
+        gathered = jax.lax.all_gather(V, STATE_AXIS)  # (D, 2^n/D, 3n+1)
+        idx = jax.lax.axis_index(STATE_AXIS)
+        row = jnp.take(jnp.asarray(Mk, dtype=V.dtype), idx, axis=0)  # (D,)
+        Y = jnp.tensordot(row, gathered, axes=(0, 0))  # (2^n/D, 3n+1)
+
+        P0, Pm = Y[:, 0], Y[:, 1:n + 1]
+        Q, T = Y[:, n + 1:2 * n + 1], Y[:, 2 * n + 1:]
+        u = SB.sum(axis=1)
+        R = S.sum(axis=1)
+        h = B.sum(axis=1)
+        c1 = 1.0 - 1.0 / a
+        c2 = 1.0 - a
+
+        term_G = (S * Q).sum(axis=1)
+        y_T1 = u * P0 + (S * (1.0 - 2.0 * B) * Pm).sum(axis=1)
+        y_T1t = T.sum(axis=1) + (B * (Q - 2.0 * T)).sum(axis=1)
+        y_Ri = R * P0
+        y_Rj = Q.sum(axis=1)
+        y_D = h * P0 + Pm.sum(axis=1) - 2.0 * (B * Pm).sum(axis=1)
+
+        return (
+            term_G
+            - c1 * (y_T1 + y_T1t)
+            - c2 * (y_Ri + y_Rj - y_T1 - y_T1t)
+            + 2.0 * n * (1.0 - a) * P0
+            - 2.0 * (1.0 / a - a) * y_D
+        )
+
+    return matvec
+
+
+def make_distributed_stein_quadform(mesh: Mesh, num_vars: int,
+                                    length_scale: float = 1.0, group: int = 7):
+    """``quadform(q, S, B) = qᵀ K_p q`` on state-sharded operands, with a
+    custom VJP reusing the forward matvec (K_p is symmetric, so
+    ∂(qᵀKq)/∂q = 2·K_p q — one distributed matvec total instead of two)."""
+    matvec = make_distributed_stein_matvec(mesh, num_vars, length_scale, group)
+
+    @jax.custom_vjp
+    def quadform(q, S, B):
+        return jnp.dot(q, matvec(q, S, B))
+
+    def fwd(q, S, B):
+        y = matvec(q, S, B)
+        return jnp.dot(q, y), (y, S, B)
+
+    def bwd(res, g):
+        y, S, B = res
+        # S and B are constants of the objective: zero cotangents.
+        return (2.0 * g * y, jnp.zeros_like(S), jnp.zeros_like(B))
+
+    quadform.defvjp(fwd, bwd)
+    return quadform
+
+
+def place_stein_tables(mesh: Mesh, score: np.ndarray, num_vars: int,
+                       dtype=jnp.float32):
+    """Device-put the score and bits tables row-sharded over the state axis."""
+    sh = state_sharding(mesh, ndim=2, axis=0)
+    S = jax.device_put(jnp.asarray(score, dtype=dtype), sh)
+    B = jax.device_put(jnp.asarray(all_bitstrings(num_vars), dtype=dtype), sh)
+    return S, B
+
+
+def make_distributed_ksd_train_step(mesh: Mesh, num_wires: int, layers: int,
+                                    ansatz_type: str,
+                                    optimizer: optax.GradientTransformation,
+                                    length_scale: float = 1.0, group: int = 7,
+                                    state_dtype=jnp.complex64,
+                                    eps: float = 1e-12):
+    """One full distributed KSD train step: sharded circuit forward → sharded
+    Stein quadratic form → loss → grads (through every collective) → update.
+
+    Returns ``step(params, opt_state, S, B) -> (params, opt_state, loss)``;
+    pass the tables from :func:`place_stein_tables` (they cross the jit
+    boundary as arguments so they never embed as HLO constants). ``params``
+    are replicated; the statevector, q, and all operator tables stay sharded
+    end to end.
+    """
+    probs_fn = make_distributed_ansatz_probs(mesh, num_wires, layers,
+                                             ansatz_type, dtype=state_dtype)
+    quadform = make_distributed_stein_quadform(mesh, num_wires, length_scale,
+                                               group)
+
+    def loss_fn(params, S, B):
+        q = probs_fn(params).astype(S.dtype)
+        return jnp.sqrt(jnp.clip(quadform(q, S, B), eps, None))
+
+    @jax.jit
+    def step(params, opt_state, S, B):
+        loss, grads = jax.value_and_grad(loss_fn)(params, S, B)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step

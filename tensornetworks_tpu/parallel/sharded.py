@@ -25,8 +25,16 @@ from .mesh import Mesh, data_sharding, replicated, state_sharding
 def make_sharded_ksd_step(qbm: QuantumBornMachine, op: SteinOperator, mesh: Mesh,
                           optimizer: optax.GradientTransformation):
     """One full quantum-KSD train step (forward → loss → grad → update) with
-    the state axis sharded over the mesh. Returns (step_fn, placed operator
-    tables). The step is jit-compiled with explicit output shardings."""
+    the state axis sharded over the mesh. Returns the jit-compiled step
+    function (the operator tables are placed sharded internally).
+
+    The STATEVECTOR itself is sharded inside the circuit forward: when the
+    Born machine uses the blocked executor, its state function is rebuilt
+    with a ``with_sharding_constraint`` hook pinned after every layer, so
+    GSPMD partitions the gate contractions (inserting ICI collective-permutes
+    for gates on the sharded leading bits) instead of replicating the whole
+    2^n state per device. For explicit manual control of the collective
+    schedule see ``parallel.distributed_train`` (shard_map path)."""
     s_sh = state_sharding(mesh, ndim=2, axis=0)
     v_sh = state_sharding(mesh, ndim=1, axis=0)
     rep = replicated(mesh)
@@ -37,8 +45,18 @@ def make_sharded_ksd_step(qbm: QuantumBornMachine, op: SteinOperator, mesh: Mesh
 
     from ..ops.stein import stein_matvec
 
+    if qbm.backend in ("blocked", "pallas2d") and qbm.conditioning_dim == 0:
+        from ..sim.blocked import make_blocked_probs_fn
+
+        probs_fn = make_blocked_probs_fn(
+            qbm.num_latent_vars, qbm.ansatz_layers, qbm.ansatz_type,
+            dtype=qbm.dtype,
+            constrain=lambda s: jax.lax.with_sharding_constraint(s, v_sh))
+    else:
+        probs_fn = qbm.probs
+
     def loss_fn(params):
-        q = qbm.probs(params).astype(op.S.dtype)
+        q = probs_fn(params).astype(op.S.dtype)
         q = jax.lax.with_sharding_constraint(q, v_sh)
         if gram is not None:
             y = gram @ q

@@ -164,13 +164,19 @@ def _hadamard_block(size: int) -> np.ndarray:
 
 def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
                           block: int = 8, dtype=jnp.complex64,
-                          conditioning: bool = False):
+                          conditioning: bool = False, constrain=None):
     """state(params[, embed_angles]) evaluating the ansatz via blocked
     execution. With ``conditioning=True`` the returned function takes a
     second argument of per-qubit embedding angles and applies an RY(θ_q)
     wall after the Hadamard wall (angle-embedding data conditioning — a
     capability the reference declares but never implements,
-    ``quantum_born_machine.py:132-137``)."""
+    ``quantum_born_machine.py:132-137``).
+
+    ``constrain``: optional ``state -> state`` hook applied to the flat
+    (2^n,) state at initialization and after every layer — used by the GSPMD
+    training path to pin ``jax.lax.with_sharding_constraint`` inside the
+    forward so the statevector itself is distributed, not just the output
+    probabilities (``parallel/sharded.py``)."""
     if ansatz_type not in ANSATZ_TYPES:
         raise ValueError(f"Unknown ansatz_type {ansatz_type!r}")
     n = num_wires
@@ -215,6 +221,8 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
 
     def state_fn(params: jnp.ndarray, embed_angles=None) -> jnp.ndarray:
         state = jnp.zeros((size,), dtype=dtype).at[0].set(1.0)
+        if constrain is not None:
+            state = constrain(state)
         if h_blocks is not None:
             for (s, bs), hb in zip(blocks, h_blocks):
                 state = apply_adjacent_block(state, jnp.asarray(hb, dtype=dtype), s, bs, n)
@@ -255,6 +263,8 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
                 state = apply_adjacent_block(state, H, 0, 1, n)
             if cz_pair_lists[layer]:
                 state = state * _cz_diag_device(n, cz_pair_lists[layer])
+            if constrain is not None:
+                state = constrain(state)
         return state
 
     return state_fn
@@ -262,9 +272,10 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
 
 def make_blocked_probs_fn(num_wires: int, layers: int, ansatz_type: str,
                           block: int = 8, dtype=jnp.complex64,
-                          conditioning: bool = False):
+                          conditioning: bool = False, constrain=None):
     state_fn = make_blocked_state_fn(num_wires, layers, ansatz_type, block, dtype,
-                                     conditioning=conditioning)
+                                     conditioning=conditioning,
+                                     constrain=constrain)
 
     if conditioning:
         def probs_fn(params: jnp.ndarray, embed_angles) -> jnp.ndarray:

@@ -4,7 +4,12 @@ The reference's conditional Born machine is amortized in principle
 (``born_machine_classical_sim.py:24-48``) but every runner trains on a single
 observation; and multi-seed stability studies rerun the whole script. Here
 both become one vmapped XLA program (SURVEY.md §2 parallelism table: the DP
-equivalent), sharding over the ``dp`` mesh axis when available:
+equivalent). Pass ``mesh=`` (a ``parallel.make_mesh`` mesh) to shard the
+observation batch / seed axis over the ``dp`` mesh axis: inputs are placed
+with a ``dp`` NamedSharding and the per-item activations pinned with
+``with_sharding_constraint``, so GSPMD runs each observation's Stein matvec
+(each seed's circuit) on its own devices and all-reduces only the scalar
+loss mean:
 
 - ``AmortizedKSD``: train one conditional Born machine against ALL
   observations x simultaneously — loss = mean_x KSD(q_θ(·|x) ‖ p(·|x)),
@@ -75,7 +80,11 @@ class AmortizedKSD:
     def train(self, observations: List[Dict[str, int]], num_epochs: int,
               lr: float = 3e-3, gradient_clip_norm: float = 5.0,
               entropy_weight: float = 1e-3, verbose: bool = True,
-              seed: int = 0) -> dict:
+              seed: int = 0, mesh=None) -> dict:
+        """``mesh``: optional device mesh (``parallel.make_mesh``) — the
+        observation batch axis of the score tables, posteriors, conditioning
+        inputs and per-observation probability rows is sharded over its
+        ``dp`` axis (data parallelism across observations)."""
         n = self.num_latent_vars
         S, posts, X = self._stacked_tables(observations)
         B = jnp.asarray(all_bitstrings(n), dtype=self.dtype)
@@ -83,12 +92,24 @@ class AmortizedKSD:
         optimizer = make_optimizer("adam", lr, num_epochs,
                                    gradient_clip_norm=gradient_clip_norm)
 
+        if mesh is not None:
+            from ..parallel.mesh import data_sharding, replicated
+
+            S = jax.device_put(S, data_sharding(mesh, 3))
+            posts = jax.device_put(posts, data_sharding(mesh, 2))
+            X = jax.device_put(X, data_sharding(mesh, 2))
+            self.params = jax.device_put(self.params, replicated(mesh))
+            constrain = lambda q: jax.lax.with_sharding_constraint(
+                q, data_sharding(mesh, 2))
+        else:
+            constrain = lambda q: q
+
         is_classical = isinstance(bm, ClassicalBornMachine)
 
         def batch_probs(params, rng=None, train=False):
             if is_classical:
-                return bm.probs(params, X, train=train, dropout_rng=rng)
-            return jax.vmap(lambda x: bm.probs(params, x))(X)
+                return constrain(bm.probs(params, X, train=train, dropout_rng=rng))
+            return constrain(jax.vmap(lambda x: bm.probs(params, x))(X))
 
         # S / posts / B pass through the jit boundary as arguments (closure
         # capture would embed them as HLO constants — fatal at large n).
@@ -138,13 +159,19 @@ def train_multi_seed(bayesian_network: BayesianNetwork, latent_vars_names, obser
                      num_seeds: int = 4, ansatz_layers: int = 2,
                      ansatz_type: str = "hardware_efficient", num_epochs: int = 200,
                      lr: float = 5e-3, gradient_clip_norm: float = 10.0,
-                     base_seed: int = 0):
+                     base_seed: int = 0, mesh=None, params0=None):
     """K independent quantum-KSD replicas trained in ONE vmapped program.
 
     Returns (stacked final params (K, P), per-seed tvd history (epochs, K),
     per-seed loss history (epochs, K)). The reference's stability studies
-    rerun scripts serially; here replicas vectorize over the model axis (and
-    shard over ``dp`` on a mesh).
+    rerun scripts serially; here replicas vectorize over the model axis and,
+    with ``mesh=``, shard the seed axis over the mesh's ``dp`` devices.
+
+    Every replica carries its own optimizer state and is updated through the
+    per-seed NaN guard (``guarded_update``): a non-finite loss in one seed
+    freezes that seed's params, optimizer moments AND schedule count without
+    touching the others — exactly what K independent single-seed runs
+    (``run_ksd_scan``) would do. Gradient clipping is likewise per-seed.
     """
     n = len(latent_vars_names)
     bn = bayesian_network
@@ -153,10 +180,20 @@ def train_multi_seed(bayesian_network: BayesianNetwork, latent_vars_names, obser
     post = jnp.asarray(t / t.sum(), dtype=jnp.float32)
     B = jnp.asarray(all_bitstrings(n), dtype=jnp.float32)
     qbm = QuantumBornMachine(n, ansatz_layers=ansatz_layers, ansatz_type=ansatz_type)
-    keys = jax.random.split(jax.random.PRNGKey(base_seed), num_seeds)
-    params0 = jax.vmap(qbm.init)(keys)  # (K, P)
+    if params0 is None:
+        keys = jax.random.split(jax.random.PRNGKey(base_seed), num_seeds)
+        params0 = jax.vmap(qbm.init)(keys)  # (K, P)
+    else:
+        params0 = jnp.asarray(params0)
+        if params0.shape[0] != num_seeds:
+            raise ValueError(f"params0 leading axis {params0.shape[0]} != "
+                             f"num_seeds {num_seeds}")
     optimizer = make_optimizer("adam", lr, num_epochs,
                                gradient_clip_norm=gradient_clip_norm)
+    if mesh is not None:
+        from ..parallel.mesh import data_sharding
+
+        params0 = jax.device_put(params0, data_sharding(mesh, params0.ndim))
 
     if n <= 12:
         gram = stein_gram_dense(S, n, 1.0, dtype=jnp.float32)
@@ -174,16 +211,17 @@ def train_multi_seed(bayesian_network: BayesianNetwork, latent_vars_names, obser
     def epoch(carry, _):
         params, opt_state = carry
         losses, grads = jax.vmap(jax.value_and_grad(one_loss))(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        import optax
-
-        params = optax.apply_updates(params, updates)
+        # Per-seed NaN guard: each replica has its own optimizer state, so a
+        # diverged seed skips its update (and schedule step) independently.
+        params, opt_state = jax.vmap(
+            lambda g, s, p, ok: guarded_update(optimizer, g, s, p, ok)
+        )(grads, opt_state, params, jnp.isfinite(losses))
         q = jax.vmap(lambda p: qbm.probs(p).astype(jnp.float32))(params)
         tvd = 0.5 * jnp.abs(q - post[None, :]).sum(-1)
         return (params, opt_state), (losses, tvd)
 
-    run = jax.jit(lambda p: jax.lax.scan(epoch, (p, optimizer.init(p)), None,
-                                         length=num_epochs))
+    run = jax.jit(lambda p: jax.lax.scan(
+        epoch, (p, jax.vmap(optimizer.init)(p)), None, length=num_epochs))
     from .common import highest_matmul_precision
 
     with highest_matmul_precision():

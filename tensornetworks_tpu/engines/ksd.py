@@ -58,6 +58,37 @@ def _posterior_vec_from(true_posterior, num_latent_vars, dtype):
     return jnp.asarray(vec, dtype=dtype)
 
 
+def _save_chunk_state(path: str, carry, parts, next_start: int) -> None:
+    """Durable chunk-resume snapshot: every carry leaf + the per-epoch
+    history recorded so far, written atomically (tmp + rename)."""
+    import os
+
+    leaves = jax.tree_util.tree_leaves(carry)
+    outs = (parts[0] if len(parts) == 1
+            else jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts))
+    payload = {f"carry{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    payload.update({f"out{i}": np.asarray(x) for i, x in enumerate(outs)})
+    payload["next_start"] = np.asarray(next_start)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def _load_chunk_state(path: str, init_carry):
+    """Inverse of ``_save_chunk_state``; ``init_carry`` supplies the pytree
+    structure (the numpy roundtrip is bit-exact, so a resumed run replays
+    identically to an uninterrupted one)."""
+    data = np.load(path)
+    treedef = jax.tree_util.tree_structure(init_carry)
+    n_leaves = treedef.num_leaves
+    carry = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(data[f"carry{i}"]) for i in range(n_leaves)])
+    n_outs = sum(1 for k in data.files if k.startswith("out"))
+    outs = (tuple(jnp.asarray(data[f"out{i}"]) for i in range(n_outs))
+            if n_outs else None)
+    return carry, outs, int(data["next_start"])
+
+
 def run_ksd_scan(
     *,
     probs_fn,                 # (params, rng) -> q  (training forward)
@@ -75,6 +106,8 @@ def run_ksd_scan(
     log_every: int = 0,
     stein_args: Optional[tuple] = None,
     chunk_epochs: Optional[int] = None,
+    resume_state_path: Optional[str] = None,
+    fail_after_chunks: Optional[int] = None,
 ):
     """One jitted training program shared by the classical and quantum KSD
     engines. Returns (final_params, best dict, history arrays, stop_epoch).
@@ -85,9 +118,25 @@ def run_ksd_scan(
     the cosine schedule, which lives in the optimizer count) flowing across
     chunks unchanged. Use on backends that bound single-program runtime
     (e.g. tunneled TPU workers); results are bit-identical to the single
-    scan. In chunked mode the caller must NOT wrap this function in
-    ``jax.jit`` — each chunk jits itself, and the Stein tables / posterior
-    ride along as operands (never HLO constants)."""
+    scan. Additionally the chunk loop BREAKS once the carried early-stop
+    flag is set (post-stop epochs are frozen no-ops in the single scan, so
+    nothing observable changes — the reference also breaks,
+    ``ksd_vi.py:178-184``) and the recorded history simply ends at that
+    chunk boundary. In chunked mode the caller must NOT wrap this function
+    in ``jax.jit`` — each chunk jits itself, and the Stein tables /
+    posterior ride along as operands (never HLO constants).
+
+    ``resume_state_path`` (chunked mode only): durable mid-training resume.
+    After every chunk the full carry + history-so-far is written to this
+    ``.npz`` path (atomic tmp+rename); if the file already exists when
+    training starts, completed chunks are skipped and the run continues
+    from the saved carry — bit-identical to an uninterrupted run (the
+    device→numpy→device roundtrip is exact). The file is removed on
+    successful completion. Callers must keep ``num_epochs``/optimizer/
+    chunking identical across the interrupted and resumed invocations.
+
+    ``fail_after_chunks``: fault-injection hook for testing resume — raises
+    after that many chunks have completed (simulating a killed worker)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     opt_state = optimizer.init(params0)
     q0 = jax.jit(eval_probs_fn)(params0) if chunk_epochs else eval_probs_fn(params0)
@@ -161,15 +210,41 @@ def run_ksd_scan(
         scan_chunk = jax.jit(_scan_chunk)
         sa_t = tuple(stein_args) if stein_args is not None else ()
         pv_t = (posterior_vec,) if track_tvd else ()
-        carry, parts = init, []
-        for s in range(0, num_epochs, chunk_epochs):
+        carry, parts, start = init, [], 0
+        if resume_state_path:
+            import os
+
+            if os.path.exists(resume_state_path):
+                carry, prev_outs, start = _load_chunk_state(
+                    resume_state_path, init)
+                if prev_outs is not None:
+                    parts.append(prev_outs)
+        done_chunks = 0
+        for s in range(start, num_epochs, chunk_epochs):
             epochs = jnp.arange(s, min(s + chunk_epochs, num_epochs))
             carry, o = scan_chunk(carry, epochs, sa_t, pv_t)
             # Sync point: the previous program must finish before the next
             # launches (bounded-runtime backends kill long programs).
-            np.asarray(carry[3])
+            stopped_now = bool(np.asarray(carry[8]))
             parts.append(o)
-        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+            done_chunks += 1
+            if resume_state_path:
+                _save_chunk_state(resume_state_path, carry, parts,
+                                  s + len(epochs))
+            if fail_after_chunks is not None and done_chunks >= fail_after_chunks:
+                raise RuntimeError(
+                    f"fault injection: killed after {done_chunks} chunks")
+            if stopped_now:
+                # Early-stopped: every remaining epoch would be a frozen
+                # no-op in the single scan — skip dispatching them.
+                break
+        if resume_state_path:
+            import os
+
+            if os.path.exists(resume_state_path):
+                os.remove(resume_state_path)
+        outs = (parts[0] if len(parts) == 1
+                else jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts))
         (params, _, _, best_tvd, best_epoch, best_params, best_probs, _, _) = carry
     else:
         (params, _, _, best_tvd, best_epoch, best_params, best_probs, _, _), outs = jax.lax.scan(
@@ -247,7 +322,10 @@ class KSDVariationalInference:
               patience: int = 200, seed: Optional[int] = None,
               checkpoint_path: Optional[str] = None,
               profile_dir: Optional[str] = None,
-              chunk_epochs: Optional[int] = None) -> dict:
+              chunk_epochs: Optional[int] = None,
+              resume_state_path: Optional[str] = None) -> dict:
+        if resume_state_path and not chunk_epochs:
+            raise ValueError("resume_state_path requires chunk_epochs")
         x_cond = self._x_cond_tensor(x_observation_dict)
         self._x_condition = x_cond
         op = self.build_operator(x_observation_dict)
@@ -273,6 +351,7 @@ class KSDVariationalInference:
                 log_every=(max(1, num_epochs // 20)
                            if verbose and scan_logging_supported() else 0),
                 stein_args=tables, chunk_epochs=chunk_epochs,
+                resume_state_path=resume_state_path,
             )
 
         if chunk_epochs:
@@ -396,7 +475,10 @@ class QuantumKSDVariationalInference:
               adam_betas=(0.9, 0.999), seed: Optional[int] = None,
               checkpoint_path: Optional[str] = None,
               profile_dir: Optional[str] = None,
-              chunk_epochs: Optional[int] = None) -> dict:
+              chunk_epochs: Optional[int] = None,
+              resume_state_path: Optional[str] = None) -> dict:
+        if resume_state_path and not chunk_epochs:
+            raise ValueError("resume_state_path requires chunk_epochs")
         if self.num_observed_vars > 0 and set(x_observation_dict) != set(self.observed_vars_names):
             raise ValueError("Keys in x_observation_dict must match self.observed_vars_names.")
         op = self.build_operator(x_observation_dict)
@@ -430,6 +512,7 @@ class QuantumKSDVariationalInference:
                 log_every=(max(1, num_epochs // 20)
                            if verbose and scan_logging_supported() else 0),
                 stein_args=tables, chunk_epochs=chunk_epochs,
+                resume_state_path=resume_state_path,
             )
 
         if chunk_epochs:

@@ -58,13 +58,12 @@ class QuantumBornMachine:
                 raise ValueError(
                     "ansatz_type='bn_structured' requires edges= "
                     "(see sim.structured.latent_edges)")
-            if conditioning_dim > 0:
-                raise ValueError("bn_structured does not support conditioning yet")
             from ..sim.structured import make_structured_probs_fn
 
             self.num_params = 3 * ansatz_layers * num_latent_vars
             self._blocked_probs = make_structured_probs_fn(
-                num_latent_vars, ansatz_layers, self.edges, dtype=dtype)
+                num_latent_vars, ansatz_layers, self.edges, dtype=dtype,
+                conditioning=conditioning_dim > 0)
             self._blocked_state = None
             self.backend = "structured2d"
             return

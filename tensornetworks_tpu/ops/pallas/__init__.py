@@ -1,18 +1,12 @@
-from .circuit import (
-    ansatz_program,
-    build_circuit_kernel,
-    make_fused_ansatz_probs,
-    rotation_bank,
-)
+"""Production Pallas TPU kernels (2D super-block formulations — the op set
+this image's Mosaic build compiles natively). Interpret-only fusion
+templates are quarantined under ``templates/``."""
+
 from .circuit2d import make_pallas_circuit2d_probs
 from .stein2d import make_pallas_stein2d_matvec, make_pallas_stein2d_quadform
 
 __all__ = [
-    "ansatz_program",
-    "build_circuit_kernel",
-    "make_fused_ansatz_probs",
     "make_pallas_circuit2d_probs",
     "make_pallas_stein2d_matvec",
     "make_pallas_stein2d_quadform",
-    "rotation_bank",
 ]

@@ -173,7 +173,7 @@ def rotation_bank(params: jnp.ndarray, num_wires: int, layers: int,
                   ansatz_type: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused per-qubit rotation unitaries as (U, 2, 2) real/imag planes, in
     the same parameter order as the reference ansätze."""
-    from ...sim.gates import H, rot_zy, rot_zyx
+    from ....sim.gates import H, rot_zy, rot_zyx
 
     n = num_wires
     mats = [jnp.asarray(H, dtype=jnp.complex64)]  # bank slot 0: Hadamard

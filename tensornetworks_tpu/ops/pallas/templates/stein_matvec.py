@@ -42,9 +42,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...core.bits import all_bitstrings
-from ..hamming import decay_factor
-from ..kron import kron_power_np
+from ....core.bits import all_bitstrings
+from ...hamming import decay_factor
+from ...kron import kron_power_np
 
 LEAD = 7
 MID = 7

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from tensornetworks_tpu.ops.pallas import make_fused_ansatz_probs
+from tensornetworks_tpu.ops.pallas.templates import make_fused_ansatz_probs
 from tensornetworks_tpu.sim import ansatz_probs, num_ansatz_params
 
 

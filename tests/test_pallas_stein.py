@@ -7,7 +7,7 @@ import pytest
 from tensornetworks_tpu.core import get_random_chain_network
 from tensornetworks_tpu.core.bits import all_bitstrings
 from tensornetworks_tpu.ops import score_table, stein_matvec
-from tensornetworks_tpu.ops.pallas.stein_matvec import make_pallas_stein_matvec, supported
+from tensornetworks_tpu.ops.pallas.templates.stein_matvec import make_pallas_stein_matvec, supported
 
 
 def test_supported_range():

@@ -72,7 +72,8 @@ class ClassicalBornMachine:
                                 use_layer_norm, dropout_rate)
         else:
             self.net = None
-        self.all_outcome_tuples = generate_all_binary_outcomes(num_latent_vars)
+        self._all_outcome_tuples = None  # lazy: 2^n Python tuples is seconds
+        # of host time and GBs at n >= 20; only get_prob_dict needs them.
 
     # ---------------------------------------------------------------- params
 
@@ -154,6 +155,13 @@ class ClassicalBornMachine:
         """(num_samples, n) float bit rows (born_machine_classical_sim.py:101-124)."""
         p = self.probs(params, x_condition, **kw)
         return sample_bits(key, p, num_samples, self.num_latent_vars)
+
+    @property
+    def all_outcome_tuples(self):
+        if self._all_outcome_tuples is None:
+            self._all_outcome_tuples = generate_all_binary_outcomes(
+                self.num_latent_vars)
+        return self._all_outcome_tuples
 
     def get_prob_dict(self, params, x_condition=None) -> dict:
         p = np.asarray(self.probs(params, x_condition))

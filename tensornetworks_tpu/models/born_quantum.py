@@ -52,7 +52,8 @@ class QuantumBornMachine:
         self.init_method = init_method
         self.dtype = dtype
         self.edges = list(edges) if edges is not None else None
-        self.all_outcome_tuples = generate_all_binary_outcomes(num_latent_vars)
+        self._all_outcome_tuples = None  # lazy: 2^n Python tuples is seconds
+        # of host time and GBs at n >= 20; only get_prob_dict needs them.
         if ansatz_type == "bn_structured":
             if self.edges is None:
                 raise ValueError(
@@ -74,7 +75,7 @@ class QuantumBornMachine:
         if conditioning_dim > 0 and backend not in ("blocked",):
             raise ValueError("conditioned quantum Born machines require the 'blocked' backend")
         self.backend = backend
-        if backend in ("blocked", "pallas2d"):
+        if backend in ("blocked", "pallas2d", "pallas2d_grid"):
             from ..sim.blocked import make_blocked_probs_fn, make_blocked_state_fn
 
             cond = conditioning_dim > 0
@@ -93,6 +94,15 @@ class QuantumBornMachine:
                 from ..ops.pallas.circuit2d import make_pallas_circuit2d_probs
 
                 self._blocked_probs = make_pallas_circuit2d_probs(
+                    num_latent_vars, ansatz_layers, ansatz_type)
+            elif backend == "pallas2d_grid":
+                # Grid-over-layers variant: O(one layer) VMEM/program size —
+                # the n >= 18 fused path where the whole-circuit kernel is
+                # compile-bound (circuit2d_grid docstring).
+                from ..ops.pallas.circuit2d_grid import (
+                    make_pallas_circuit2d_grid_probs)
+
+                self._blocked_probs = make_pallas_circuit2d_grid_probs(
                     num_latent_vars, ansatz_layers, ansatz_type)
         else:
             self._blocked_probs = None
@@ -157,6 +167,13 @@ class QuantumBornMachine:
         p = self.probs(params, x_condition)
         p = p / p.sum()
         return sample_bits(key, p, num_samples, self.num_latent_vars)
+
+    @property
+    def all_outcome_tuples(self):
+        if self._all_outcome_tuples is None:
+            self._all_outcome_tuples = generate_all_binary_outcomes(
+                self.num_latent_vars)
+        return self._all_outcome_tuples
 
     def get_prob_dict(self, params, x_condition=None) -> dict:
         p = np.asarray(self.probs(params, x_condition))

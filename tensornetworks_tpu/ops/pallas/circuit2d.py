@@ -33,6 +33,78 @@ from ...sim.blocked2d import _h_wall, _kron_h, _perm_matrix
 from ...sim.gates import rot_zy_batched, rot_zyx_batched, batched_kron
 
 
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_kernel_precision())
+
+
+def _left_real(Bm, planes):
+    """Bm @ p for each plane: one dot on the lane-concatenated stack."""
+    k = planes[0].shape[1]
+    Y = _dot(Bm, jnp.concatenate(planes, axis=1))
+    return tuple(Y[:, i * k:(i + 1) * k] for i in range(len(planes)))
+
+
+def _right_real(planes, Bm):
+    """p @ Bm for each plane: one dot on the sublane-concatenated stack."""
+    k = planes[0].shape[0]
+    Y = _dot(jnp.concatenate(planes, axis=0), Bm)
+    return tuple(Y[i * k:(i + 1) * k] for i in range(len(planes)))
+
+
+def _rot_left(m_re, m_im, planes):
+    """Complex M @ X on (re, im) plane pairs: two stacked dots."""
+    k = planes[0].shape[1]
+    S = jnp.concatenate(planes, axis=1)
+    U1, U2 = _dot(m_re, S), _dot(m_im, S)
+    u = lambda Y, i: Y[:, i * k:(i + 1) * k]
+    out = []
+    for i in range(0, len(planes), 2):
+        out.append(u(U1, i) - u(U2, i + 1))
+        out.append(u(U1, i + 1) + u(U2, i))
+    return tuple(out)
+
+
+def _rot_right(planes, m_re, m_im):
+    """Complex X @ Mᵀ on (re, im) plane pairs: two stacked dots."""
+    k = planes[0].shape[0]
+    S = jnp.concatenate(planes, axis=0)
+    U1, U2 = _dot(S, m_re.T), _dot(S, m_im.T)
+    u = lambda Y, i: Y[i * k:(i + 1) * k]
+    out = []
+    for i in range(0, len(planes), 2):
+        out.append(u(U1, i) - u(U2, i + 1))
+        out.append(u(U1, i + 1) + u(U2, i))
+    return tuple(out)
+
+
+def _rot_right_conj(planes, m_re, m_im):
+    """Complex X @ conj(M) (the unitary inverse / cotangent pullback of
+    the right rotation): two stacked dots."""
+    k = planes[0].shape[0]
+    S = jnp.concatenate(planes, axis=0)
+    U1, U2 = _dot(S, m_re), _dot(S, m_im)
+    u = lambda Y, i: Y[i * k:(i + 1) * k]
+    out = []
+    for i in range(0, len(planes), 2):
+        out.append(u(U1, i) + u(U2, i + 1))
+        out.append(u(U1, i + 1) - u(U2, i))
+    return tuple(out)
+
+
+def _rot_left_conjT(m_re, m_im, planes):
+    """Complex M† @ X (inverse / pullback of the left rotation)."""
+    k = planes[0].shape[1]
+    S = jnp.concatenate(planes, axis=1)
+    U1, U2 = _dot(m_re.T, S), _dot(m_im.T, S)
+    u = lambda Y, i: Y[:, i * k:(i + 1) * k]
+    out = []
+    for i in range(0, len(planes), 2):
+        out.append(u(U1, i) + u(U2, i + 1))
+        out.append(u(U1, i + 1) - u(U2, i))
+    return tuple(out)
+
+
 def _sign_mask_expr(rb: int, cb: int, pairs: List[Tuple[int, int]]):
     """In-kernel (R, C) ±1 mask from broadcasted_iota for a set of CZ pairs."""
     R, C = 1 << rb, 1 << cb
@@ -81,76 +153,12 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
     ])  # (3, C, C)
     cz_layer_pairs = [_cz_pairs(n, layer, ansatz_type) for layer in range(layers)]
 
-    # ---- stacked-dot helpers: every multi-plane matmul runs as ONE (or two,
-    # for complex operators) MXU dots on lane-/sublane-concatenated planes —
-    # measured ~2x fewer Mosaic dots per layer than the per-plane form, at
-    # identical math. Lane concat + aligned lane slices compile natively
-    # (probed on this Mosaic build); no lane-changing reshapes are used.
-
-    def _dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                       precision=_kernel_precision())
-
-    def _left_real(Bm, planes):
-        """Bm @ p for each plane: one dot on the lane-concatenated stack."""
-        k = planes[0].shape[1]
-        Y = _dot(Bm, jnp.concatenate(planes, axis=1))
-        return tuple(Y[:, i * k:(i + 1) * k] for i in range(len(planes)))
-
-    def _right_real(planes, Bm):
-        """p @ Bm for each plane: one dot on the sublane-concatenated stack."""
-        k = planes[0].shape[0]
-        Y = _dot(jnp.concatenate(planes, axis=0), Bm)
-        return tuple(Y[i * k:(i + 1) * k] for i in range(len(planes)))
-
-    def _rot_left(m_re, m_im, planes):
-        """Complex M @ X on (re, im) plane pairs: two stacked dots."""
-        k = planes[0].shape[1]
-        S = jnp.concatenate(planes, axis=1)
-        U1, U2 = _dot(m_re, S), _dot(m_im, S)
-        u = lambda Y, i: Y[:, i * k:(i + 1) * k]
-        out = []
-        for i in range(0, len(planes), 2):
-            out.append(u(U1, i) - u(U2, i + 1))
-            out.append(u(U1, i + 1) + u(U2, i))
-        return tuple(out)
-
-    def _rot_right(planes, m_re, m_im):
-        """Complex X @ Mᵀ on (re, im) plane pairs: two stacked dots."""
-        k = planes[0].shape[0]
-        S = jnp.concatenate(planes, axis=0)
-        U1, U2 = _dot(S, m_re.T), _dot(S, m_im.T)
-        u = lambda Y, i: Y[i * k:(i + 1) * k]
-        out = []
-        for i in range(0, len(planes), 2):
-            out.append(u(U1, i) - u(U2, i + 1))
-            out.append(u(U1, i + 1) + u(U2, i))
-        return tuple(out)
-
-    def _rot_right_conj(planes, m_re, m_im):
-        """Complex X @ conj(M) (the unitary inverse / cotangent pullback of
-        the right rotation): two stacked dots."""
-        k = planes[0].shape[0]
-        S = jnp.concatenate(planes, axis=0)
-        U1, U2 = _dot(S, m_re), _dot(S, m_im)
-        u = lambda Y, i: Y[i * k:(i + 1) * k]
-        out = []
-        for i in range(0, len(planes), 2):
-            out.append(u(U1, i) + u(U2, i + 1))
-            out.append(u(U1, i + 1) - u(U2, i))
-        return tuple(out)
-
-    def _rot_left_conjT(m_re, m_im, planes):
-        """Complex M† @ X (inverse / pullback of the left rotation)."""
-        k = planes[0].shape[1]
-        S = jnp.concatenate(planes, axis=1)
-        U1, U2 = _dot(m_re.T, S), _dot(m_im.T, S)
-        u = lambda Y, i: Y[:, i * k:(i + 1) * k]
-        out = []
-        for i in range(0, len(planes), 2):
-            out.append(u(U1, i) + u(U2, i + 1))
-            out.append(u(U1, i + 1) - u(U2, i))
-        return tuple(out)
+    # Stacked-dot helpers (module level): every multi-plane matmul runs as
+    # ONE (or two, for complex operators) MXU dots on lane-/sublane-
+    # concatenated planes — measured ~2x fewer Mosaic dots per layer than the
+    # per-plane form, at identical math. Lane concat + aligned lane slices
+    # compile natively (probed on this Mosaic build); no lane-changing
+    # reshapes are used.
 
     def kernel(mr_re_ref, mr_im_ref, mc_re_ref, mc_im_ref, rb_ref, cb_ref,
                probs_ref):

@@ -28,10 +28,14 @@ def main():
     from tensornetworks_tpu.ops.stein import stein_matvec, stein_matvec_gcorr
     from functools import partial
 
+    if variant == "tables":
+        from tensornetworks_tpu.ops.stein import (make_gcorr_tables,
+                                                  stein_matvec_gcorr_tables)
     mv = {
         "old": stein_matvec,
         "gcorr2d": partial(stein_matvec_gcorr, kron="2d"),
         "gcorrrows": partial(stein_matvec_gcorr, kron="rows"),
+        "tables": None,
     }[variant]
 
     rng = np.random.default_rng(0)
@@ -39,7 +43,17 @@ def main():
     S = jnp.asarray(rng.normal(size=(1 << n, n)).astype(np.float32))
     B = jnp.asarray(all_bitstrings(n), dtype=jnp.float32)
 
-    def run(q0, S_, B_):
+    tab_ref = [None]
+    extra = ()
+    if variant == "tables":
+        extra = (make_gcorr_tables(S, B, n, 1.0),)
+        kr = "2d" if n <= 17 else "rows"
+        mv = lambda q_, S_, B_, n_, ls_: stein_matvec_gcorr_tables(
+            q_, tab_ref[0], n_, ls_, kron=kr)
+
+    def run(q0, S_, B_, *tabs):
+        if tabs:
+            tab_ref[0] = tabs[0]
         def body(carry, _):
             y = mv(carry, S_, B_, n, 1.0)
             # renormalize so the value stays bounded across iterations
@@ -50,11 +64,11 @@ def main():
     run_j = jax.jit(run)
     with highest_matmul_precision():
         t0 = time.perf_counter()
-        _, vals = run_j(q, S, B)
+        _, vals = run_j(q, S, B, *extra)
         float(vals[-1])
         print(f"compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
         t0 = time.perf_counter()
-        _, vals = run_j(q, S, B)
+        _, vals = run_j(q, S, B, *extra)
         float(vals[-1])
         dt = time.perf_counter() - t0
     print(f"stein_matvec[{variant}] n={n}: {1e3 * dt / iters:.3f} ms/call "

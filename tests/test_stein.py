@@ -263,3 +263,24 @@ def test_matvec_2d_window_matches_grouped():
         Y2 = np.asarray(kron_matvec_rows(V, A, n))
         np.testing.assert_allclose(Y1, Y2, rtol=1e-10,
                                    atol=1e-10 * np.abs(Y2).max())
+
+
+def test_matvec_gcorr_matches_dense():
+    # n+1-column decomposition (bit masks pushed through K as closed-form
+    # 2x2 G-corrections) must equal the dense Gram matvec exactly, for both
+    # Kronecker apply layouts and odd/even n.
+    import numpy as np
+    import jax.numpy as jnp
+    from tensornetworks_tpu.core.bits import all_bitstrings
+    from tensornetworks_tpu.ops.stein import stein_gram_dense, stein_matvec_gcorr
+
+    for n in (2, 3, 6, 9):
+        rng = np.random.default_rng(n)
+        S = jnp.asarray(rng.normal(size=(2**n, n)))
+        B = jnp.asarray(all_bitstrings(n), dtype=S.dtype)
+        q = jnp.asarray(rng.dirichlet(np.ones(2**n)))
+        y_ref = np.asarray(stein_gram_dense(S, n, dtype=S.dtype) @ q)
+        for kron in ("2d", "rows"):
+            y = np.asarray(stein_matvec_gcorr(q, S, B, n, kron=kron))
+            np.testing.assert_allclose(y, y_ref, rtol=1e-10,
+                                       atol=1e-10 * np.abs(y_ref).max())

@@ -108,6 +108,7 @@ def run_ksd_scan(
     chunk_epochs: Optional[int] = None,
     resume_state_path: Optional[str] = None,
     fail_after_chunks: Optional[int] = None,
+    stein_args_schedule=None,
 ):
     """One jitted training program shared by the classical and quantum KSD
     engines. Returns (final_params, best dict, history arrays, stop_epoch).
@@ -136,7 +137,14 @@ def run_ksd_scan(
     chunking identical across the interrupted and resumed invocations.
 
     ``fail_after_chunks``: fault-injection hook for testing resume — raises
-    after that many chunks have completed (simulating a killed worker)."""
+    after that many chunks have completed (simulating a killed worker).
+
+    ``stein_args_schedule`` (chunked mode only): ``chunk_index -> tuple`` of
+    per-chunk operator tables replacing ``stein_args`` — the tempered-target
+    hook (train against p^β with β annealed chunk-by-chunk). Shapes must
+    match across chunks (the chunk program is compiled once)."""
+    if stein_args_schedule is not None and not chunk_epochs:
+        raise ValueError("stein_args_schedule requires chunk_epochs")
     key = key if key is not None else jax.random.PRNGKey(0)
     opt_state = optimizer.init(params0)
     q0 = jax.jit(eval_probs_fn)(params0) if chunk_epochs else eval_probs_fn(params0)
@@ -222,6 +230,11 @@ def run_ksd_scan(
         done_chunks = 0
         for s in range(start, num_epochs, chunk_epochs):
             epochs = jnp.arange(s, min(s + chunk_epochs, num_epochs))
+            if stein_args_schedule is not None:
+                # Per-chunk operator tables (e.g. tempered/annealed targets):
+                # same shapes each chunk, so the chunk program never
+                # recompiles — only the operand values change.
+                sa_t = tuple(stein_args_schedule(s // chunk_epochs))
             carry, o = scan_chunk(carry, epochs, sa_t, pv_t)
             # Sync point: the previous program must finish before the next
             # launches (bounded-runtime backends kill long programs).
@@ -462,9 +475,14 @@ class QuantumKSDVariationalInference:
         self.all_latent_states_tuples = generate_all_binary_outcomes(self.num_latent_vars)
         self.history_: Optional[dict] = None
 
-    def build_operator(self, x_observation_dict) -> SteinOperator:
+    def build_operator(self, x_observation_dict, temper_beta: float = 1.0) -> SteinOperator:
         t = self.bn.conditional_joint_table(self.latent_vars_names, x_observation_dict)
         S = score_table(t)
+        if temper_beta != 1.0:
+            # Tempered target p^β: the discrete score s = 1 - p(flip)/p maps
+            # to s_β = 1 - (p(flip)/p)^β = 1 - (1 - s)^β; the zero-prob guard
+            # rows (s = 0) are fixed points, so the guard is preserved.
+            S = 1.0 - np.power(1.0 - S, temper_beta)
         return SteinOperator(S, self.num_latent_vars, self.base_kernel_length_scale,
                             dtype=self.dtype, dense=self.dense)
 
@@ -476,9 +494,18 @@ class QuantumKSDVariationalInference:
               checkpoint_path: Optional[str] = None,
               profile_dir: Optional[str] = None,
               chunk_epochs: Optional[int] = None,
-              resume_state_path: Optional[str] = None) -> dict:
+              resume_state_path: Optional[str] = None,
+              temper_betas: Optional[Sequence[float]] = None) -> dict:
+        """``temper_betas`` (requires ``chunk_epochs``): per-chunk inverse
+        temperatures — chunk i trains against the annealed target p^β[i]
+        (β past the end of the list holds at its last value; end the list
+        with 1.0 to finish on the true posterior). TVD is always tracked
+        against the UNtempered posterior, so best-snapshot restore still
+        selects by true quality."""
         if resume_state_path and not chunk_epochs:
             raise ValueError("resume_state_path requires chunk_epochs")
+        if temper_betas is not None and not chunk_epochs:
+            raise ValueError("temper_betas requires chunk_epochs")
         if self.num_observed_vars > 0 and set(x_observation_dict) != set(self.observed_vars_names):
             raise ValueError("Keys in x_observation_dict must match self.observed_vars_names.")
         op = self.build_operator(x_observation_dict)
@@ -504,6 +531,19 @@ class QuantumKSDVariationalInference:
 
         track = posterior_vec is not None
 
+        schedule = None
+        if temper_betas is not None:
+            betas = [float(b) for b in temper_betas]
+            cache: dict = {}
+
+            def schedule(chunk_index):
+                beta = betas[min(chunk_index, len(betas) - 1)]
+                if beta not in cache:
+                    cache[beta] = (op.args() if beta == 1.0 else
+                                   self.build_operator(x_observation_dict,
+                                                       temper_beta=beta).args())
+                return cache[beta]
+
         def _run(p0, k, tables, post):
             return run_ksd_scan(
                 probs_fn=probs_fn, eval_probs_fn=eval_probs_fn, params0=p0, op=op,
@@ -513,6 +553,7 @@ class QuantumKSDVariationalInference:
                            if verbose and scan_logging_supported() else 0),
                 stein_args=tables, chunk_epochs=chunk_epochs,
                 resume_state_path=resume_state_path,
+                stein_args_schedule=schedule,
             )
 
         if chunk_epochs:

@@ -96,3 +96,43 @@ def test_resume_requires_chunking():
     with pytest.raises(ValueError, match="chunk_epochs"):
         e.train(obs, num_epochs=10, lr_born_machine=0.1, verbose=False,
                 resume_state_path="/tmp/nope.npz")
+
+
+def test_tempered_schedule_identity_and_anneal():
+    """betas=[1.0] must be bit-identical to the untempered chunked run; an
+    annealed schedule must still track TVD against the true posterior and
+    train to a finite result."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tensornetworks_tpu.core import get_sprinkler_network
+    from tensornetworks_tpu.engines.ksd_quantum import KSDVariationalInference
+
+    bn = get_sprinkler_network()
+    post = bn.posterior_vector(["C", "S", "R"], {"W": 1})
+
+    def make():
+        return KSDVariationalInference(
+            bn, ["C", "S", "R"], ["W"], qbm_num_latent_vars=3,
+            qbm_ansatz_layers=2, seed=0)
+
+    h_plain = make().train({"W": 1}, num_epochs=40, lr_born_machine=5e-3,
+                           verbose=False, true_posterior_for_tvd=post,
+                           chunk_epochs=10)
+    h_b1 = make().train({"W": 1}, num_epochs=40, lr_born_machine=5e-3,
+                        verbose=False, true_posterior_for_tvd=post,
+                        chunk_epochs=10, temper_betas=[1.0])
+    np.testing.assert_array_equal(np.asarray(h_plain["loss_ksd"]),
+                                  np.asarray(h_b1["loss_ksd"]))
+    np.testing.assert_array_equal(np.asarray(h_plain["tvd"]),
+                                  np.asarray(h_b1["tvd"]))
+
+    eng = make()
+    h_ann = eng.train({"W": 1}, num_epochs=40, lr_born_machine=5e-3,
+                      verbose=False, true_posterior_for_tvd=post,
+                      chunk_epochs=10, temper_betas=[0.25, 0.5, 0.75, 1.0])
+    assert np.all(np.isfinite(np.asarray(h_ann["loss_ksd"])))
+    # the β=0.25 chunk optimizes a flatter target, so its KSD values differ
+    # from the untempered run
+    assert not np.allclose(np.asarray(h_ann["loss_ksd"])[:10],
+                           np.asarray(h_plain["loss_ksd"])[:10])
+    assert np.isfinite(eng.best_tvd_)

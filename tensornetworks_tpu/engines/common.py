@@ -115,12 +115,17 @@ import contextlib
 def highest_matmul_precision():
     """Training context: force float32 MXU contractions.
 
-    TPU's DEFAULT matmul precision runs f32 dots through bf16 passes; the
+    TPU's DEFAULT matmul precision runs f32 dots through one bf16 pass; the
     accumulated error degrades final KSD-VI quality by >20x on the Sprinkler
     oracle (measured: best TVD 0.095 vs 0.0039). All engines train under
-    HIGHEST.
+    HIGHEST (6-pass). Override with TNTPU_MATMUL_PRECISION=default|high|
+    highest for precision/quality experiments (e.g. HIGH = 3-pass bf16,
+    ~2x faster MXU throughput).
     """
-    with jax.default_matmul_precision("highest"):
+    import os
+
+    prec = os.environ.get("TNTPU_MATMUL_PRECISION", "highest")
+    with jax.default_matmul_precision(prec):
         yield
 
 

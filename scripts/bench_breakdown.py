@@ -24,21 +24,25 @@ V5E_F32_FLOPS = 33e12   # HIGHEST precision ≈ 6-pass bf16 of 197 Tf/s
 V5E_HBM_BPS = 819e9
 
 
-def timed_scan(fn, init, iters, label, flops=None, bytes_moved=None):
+def timed_scan(fn, init, iters, label, flops=None, bytes_moved=None,
+               consts=()):
     import jax
 
-    def run(x):
+    # ``consts`` ride as jit ARGUMENTS (closure capture would embed the
+    # operator tables as HLO constants -> HTTP 413 from the remote compiler
+    # at n >= 20).
+    def run(x, *cs):
         def body(c, _):
-            y = fn(c)
+            y = fn(c, *cs)
             return y, ()
         out, _ = jax.lax.scan(body, x, None, length=iters)
         return out
 
     rj = jax.jit(run)
-    out = rj(init)
+    out = rj(init, *consts)
     np.asarray(jax.tree.leaves(out)[0])  # force fetch (warm-up)
     t0 = time.perf_counter()
-    out = rj(init)
+    out = rj(init, *consts)
     np.asarray(jax.tree.leaves(out)[0])
     ms = 1e3 * (time.perf_counter() - t0) / iters
     line = f"{label:42s} {ms:8.3f} ms"
@@ -78,7 +82,7 @@ def main():
                              ansatz_type="hardware_efficient",
                              init_method="small_random")
     params = qbm.init(jax.random.PRNGKey(0))
-    Sd, Bd = op.args()
+    tables = op.args()
     size = 1 << n
 
     # FLOP model: blocked executor, blocks of 8 -> per layer ~sum over blocks
@@ -98,7 +102,7 @@ def main():
 
         def loss(p):
             q = qbm.probs(p).astype(jnp.float32)
-            return op.ksd_loss_from(q, Sd, Bd)
+            return op.ksd_loss_from(q, *tables)
 
         timed_scan(lambda p: p - 1e-12 * jax.grad(loss)(p), params, iters,
                    "loss fwd+bwd (circuit + matvec + grad)",
@@ -106,17 +110,19 @@ def main():
 
         rng = np.random.default_rng(0)
         q0 = jnp.asarray(rng.dirichlet(np.ones(size)).astype(np.float32))
-        timed_scan(lambda q: (y := stein_matvec(q, Sd, Bd, n, 1.0),
+        from tensornetworks_tpu.ops.stein import stein_matvec_gcorr_tables
+        (gtab,) = tables
+        timed_scan(lambda q, gt: (y := stein_matvec_gcorr_tables(q, gt, n, 1.0, kron=op._gcorr_kron),
                               y / jnp.sum(jnp.abs(y)))[1],
                    q0, iters, "stein matvec", flops=mv_flops,
-                   bytes_moved=mv_bytes)
+                   bytes_moved=mv_bytes, consts=(gtab,))
 
         opt = make_optimizer("adam", 5e-3, 1000)
         post = q0
 
-        def epoch(carry):
+        def epoch(carry, *tabs):
             p, s = carry
-            l, g = jax.value_and_grad(loss)(p)
+            l, g = jax.value_and_grad(loss)(p, *tabs)
             upd, s = opt.update(g, s, p)
             p = optax.apply_updates(p, upd)
             q = qbm.probs(p).astype(jnp.float32)
@@ -125,7 +131,7 @@ def main():
 
         timed_scan(epoch, (params, opt.init(params)), iters,
                    "full epoch (fwd+bwd+update+TVD eval)",
-                   flops=4 * circ_fwd_flops + mv_flops)
+                   flops=4 * circ_fwd_flops + mv_flops, consts=tables)
 
 
 if __name__ == "__main__":

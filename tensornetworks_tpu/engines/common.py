@@ -113,18 +113,19 @@ import contextlib
 
 @contextlib.contextmanager
 def highest_matmul_precision():
-    """Training context: force float32 MXU contractions.
+    """Training context: quality-safe MXU contraction precision.
 
-    TPU's DEFAULT matmul precision runs f32 dots through one bf16 pass; the
-    accumulated error degrades final KSD-VI quality by >20x on the Sprinkler
-    oracle (measured: best TVD 0.095 vs 0.0039). All engines train under
-    HIGHEST (6-pass). Override with TNTPU_MATMUL_PRECISION=default|high|
-    highest for precision/quality experiments (e.g. HIGH = 3-pass bf16,
-    ~2x faster MXU throughput).
+    TPU's DEFAULT matmul precision runs f32 dots through ONE bf16 pass; the
+    accumulated error degrades final KSD-VI quality >16x (measured on the
+    v5e: Sprinkler-oracle best TVD 0.095 vs 0.0058; 16q structured 0.2165 vs
+    0.1638). HIGH (3-pass bf16) matches HIGHEST (6-pass) quality on both
+    oracles (0.0062 / 0.1646) at up to 2x the dot throughput, so HIGH is the
+    production setting. Override with TNTPU_MATMUL_PRECISION=default|high|
+    highest. (Name kept from when the answer was 'highest'.)
     """
     import os
 
-    prec = os.environ.get("TNTPU_MATMUL_PRECISION", "highest")
+    prec = os.environ.get("TNTPU_MATMUL_PRECISION", "high")
     with jax.default_matmul_precision(prec):
         yield
 

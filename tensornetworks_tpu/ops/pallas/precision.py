@@ -28,6 +28,9 @@ _NAMES = {
     "highest": jax.lax.Precision.HIGHEST,
 }
 
+# NOTE: Mosaic's dot lowering supports only DEFAULT and HIGHEST — "high"
+# (3-pass bf16) raises NotImplementedError in pallas kernels, so kernels
+# keep HIGHEST even though the XLA-side production precision is HIGH.
 _KERNEL_PRECISION = _NAMES[os.environ.get("TNTPU_KERNEL_PRECISION", "highest").lower()]
 
 

@@ -79,7 +79,10 @@ def make_structured_probs_fn(num_wires: int, layers: int,
         if not (0 <= c < n and 0 <= t < n) or c == t:
             raise ValueError(f"bad edge ({c}, {t}) for {n} wires")
     has_edges = bool(edges)
-    real_dtype = jnp.real(jnp.zeros((), dtype=dtype)).dtype
+    # numpy-side dtype probe: an EAGER jnp op here (jnp.real of a device
+    # scalar) hits the axon backend outside any jit and fails with
+    # UNIMPLEMENTED — factory functions must never touch the device.
+    real_dtype = jnp.dtype(np.zeros(0, dtype=np.dtype(dtype)).real.dtype)
 
     def bit_mask(q):
         """0/1 indicator of qubit q's basis bit, iota-derived on device,

@@ -100,13 +100,14 @@ def main():
                    params, iters, "circuit fwd (blocked)",
                    flops=circ_fwd_flops)
 
-        def loss(p):
+        def loss(p, *tabs):
             q = qbm.probs(p).astype(jnp.float32)
-            return op.ksd_loss_from(q, *tables)
+            return op.ksd_loss_from(q, *tabs)
 
-        timed_scan(lambda p: p - 1e-12 * jax.grad(loss)(p), params, iters,
+        timed_scan(lambda p, *tabs: p - 1e-12 * jax.grad(loss)(p, *tabs),
+                   params, iters,
                    "loss fwd+bwd (circuit + matvec + grad)",
-                   flops=3 * circ_fwd_flops + mv_flops)
+                   flops=3 * circ_fwd_flops + mv_flops, consts=tables)
 
         rng = np.random.default_rng(0)
         q0 = jnp.asarray(rng.dirichlet(np.ones(size)).astype(np.float32))

@@ -59,14 +59,24 @@ class QuantumBornMachine:
                 raise ValueError(
                     "ansatz_type='bn_structured' requires edges= "
                     "(see sim.structured.latent_edges)")
-            from ..sim.structured import make_structured_probs_fn
-
             self.num_params = 3 * ansatz_layers * num_latent_vars
-            self._blocked_probs = make_structured_probs_fn(
-                num_latent_vars, ansatz_layers, self.edges, dtype=dtype,
-                conditioning=conditioning_dim > 0)
+            if backend == "structured2d":
+                # 2D flip-select executor: exact, CPU/test path (its per-edge
+                # flips relayout-crawl on the TPU — see structured.py).
+                from ..sim.structured import make_structured_probs_fn
+
+                self._blocked_probs = make_structured_probs_fn(
+                    num_latent_vars, ansatz_layers, self.edges, dtype=dtype,
+                    conditioning=conditioning_dim > 0)
+                self.backend = "structured2d"
+            else:
+                from ..sim.structured import make_structured_probs_fn_flat
+
+                self._blocked_probs = make_structured_probs_fn_flat(
+                    num_latent_vars, ansatz_layers, self.edges, block=block,
+                    dtype=dtype, conditioning=conditioning_dim > 0)
+                self.backend = "structured"
             self._blocked_state = None
-            self.backend = "structured2d"
             return
         self.num_params = num_ansatz_params(num_latent_vars, ansatz_layers, ansatz_type)
         ansatz_state_fn(ansatz_type)  # validate early

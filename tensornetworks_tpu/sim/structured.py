@@ -46,7 +46,153 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.kron import apply_adjacent_block
 from .gates import batched_kron, rot_zyx_batched, ry_batched
+
+_SX = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=np.complex64)
+
+
+def make_structured_probs_fn_flat(num_wires: int, layers: int,
+                                  edges: Sequence[Tuple[int, int]],
+                                  block: int = 8, dtype=jnp.complex64,
+                                  conditioning: bool = False):
+    """Flat-state (blocked-executor) evaluation of the DAG-structured ansatz
+    — the production TPU path.
+
+    The 2D flip-select executor below is exact but its per-edge
+    reshape+axis-reverse flips relayout-crawl on the TPU for low-order bits
+    (measured 59 ms/forward and ~8 min compiles at 20 qubits). Here every
+    circuit element rides the layout machinery the blocked executor already
+    proved out on this backend:
+
+    - rotations: per-block Kronecker folds, one (2^b, 2^b) matmul per block
+      per layer (same as ``sim.blocked``);
+    - even-layer CNOT(c, t): a 2x2 σx contraction on qubit t's axis
+      (``apply_adjacent_block`` — lane-friendly at every position, including
+      the trailing-extent special cases) gated by an iota-derived control
+      mask: ``state + m_c ∘ (σx_t state − state)``;
+    - odd-layer CZs: one iota-derived ±1 diagonal for the whole layer.
+
+    Gate order matches ``make_structured_probs_fn`` exactly (edges applied
+    in sequence), so the two executors agree amplitude-for-amplitude
+    (tests/test_structured_ansatz.py).
+    """
+    from .blocked import _blocks, _cz_diag_device
+
+    n = num_wires
+    size = 1 << n
+    edges = [(int(c), int(t)) for c, t in edges]
+    for c, t in edges:
+        if not (0 <= c < n and 0 <= t < n) or c == t:
+            raise ValueError(f"bad edge ({c}, {t}) for {n} wires")
+    has_edges = bool(edges)
+    blocks = _blocks(n, block)
+    # numpy, NOT factory-scope device arrays: embedding a live complex64
+    # device buffer as a jit constant needs a D2H fetch that the axon
+    # backend rejects (UNIMPLEMENTED); numpy constants embed host-side.
+    npdt = np.dtype(dtype)
+    # Trailing-qubit gates: a bare 2x2 contraction at qubit t >= n-tg puts a
+    # sub-128 extent on the lane axis (64x padding). Embed σx into a
+    # (2^tg, 2^tg) operator on the ALIGNED trailing block instead — the
+    # lane-axis right-multiply path of apply_adjacent_block then runs with
+    # full lanes. (This was a 5x whole-forward regression before the fix.)
+    tg = min(7, n)
+    tstart = n - tg
+
+    def _embed_trailing(M2: np.ndarray, pos: int) -> np.ndarray:
+        out = np.eye(1, dtype=npdt)
+        for q in range(tg):
+            out = np.kron(out, M2 if q == pos else np.eye(2))
+        return out.astype(npdt)
+
+    sx_embed = {t: _embed_trailing(_SX, t - tstart)
+                for t in range(tstart, n)}
+
+    def _local_cnot(c: int, t: int) -> np.ndarray:
+        """(2^tg, 2^tg) permutation of CNOT(c, t) inside the trailing block."""
+        idx = np.arange(1 << tg, dtype=np.int64)
+        cb = 1 << (tg - 1 - (c - tstart))
+        tb = 1 << (tg - 1 - (t - tstart))
+        fwd = idx ^ (((idx & cb) >> int(np.log2(cb))) * tb)
+        P = np.zeros((1 << tg, 1 << tg), dtype=npdt)
+        P[fwd, idx] = 1.0
+        return P
+
+    # Per-edge plan for even layers, preserving edge order: runs of edges
+    # fully inside the trailing block compose into ONE permutation matmul;
+    # every other edge is one masked X-gate application.
+    plan = []  # ("perm", matrix) | ("cx", c, t, sx_matrix)
+    for c, t in edges:
+        if c >= tstart and t >= tstart:
+            P = _local_cnot(c, t)
+            if plan and plan[-1][0] == "perm":
+                plan[-1] = ("perm", P @ plan[-1][1])
+            else:
+                plan.append(("perm", P))
+        else:
+            M = sx_embed[t] if t >= tstart else _SX.astype(npdt)
+            plan.append(("cx", c, t, M))
+
+    def control_mask(c):
+        b = (jax.lax.iota(jnp.int32, size) >> (n - 1 - c)) & 1
+        return b.astype(jnp.float32)
+
+    def block_matrices(params):
+        angles = params.reshape(layers, n, 3)
+        U = rot_zyx_batched(angles[..., 0], angles[..., 1],
+                            angles[..., 2]).astype(dtype)
+        out = []
+        for s, bs in blocks:
+            M = U[:, s]
+            for q in range(s + 1, s + bs):
+                M = batched_kron(M, U[:, q])
+            out.append(M)
+        return out
+
+    def run(params, embed_angles=None):
+        state = jnp.full((size,), 1.0 / np.sqrt(float(size)), dtype=dtype)
+        if conditioning:
+            if embed_angles is None:
+                raise ValueError("conditioning=True requires embed_angles")
+            E = ry_batched(jnp.asarray(embed_angles).reshape(n)).astype(dtype)
+            for s, bs in blocks:
+                M = E[s]
+                for q in range(s + 1, s + bs):
+                    M = jnp.kron(M, E[q])
+                state = apply_adjacent_block(state, M, s, bs, n)
+        mats = block_matrices(params)
+        cz = _cz_diag_device(n, edges) if has_edges else None
+        for l in range(layers):
+            for i, (s, bs) in enumerate(blocks):
+                state = apply_adjacent_block(state, mats[i][l], s, bs, n)
+            if not has_edges:
+                continue
+            if l % 2 == 0:
+                for step in plan:
+                    if step[0] == "perm":
+                        state = apply_adjacent_block(
+                            state, jnp.asarray(step[1]), tstart, tg, n)
+                    else:
+                        _, c, t, M = step
+                        if t >= tstart:
+                            flipped = apply_adjacent_block(
+                                state, jnp.asarray(M), tstart, tg, n)
+                        else:
+                            flipped = apply_adjacent_block(
+                                state, jnp.asarray(M), t, 1, n)
+                        m = control_mask(c)
+                        state = state + m * (flipped - state)
+            else:
+                state = state * cz
+        return jnp.real(state * jnp.conj(state))
+
+    if conditioning:
+        return run
+
+    def probs(params: jnp.ndarray) -> jnp.ndarray:
+        return run(params)
+
+    return probs
 
 
 def latent_edges(bn, latent_names: Sequence[str]) -> List[Tuple[int, int]]:

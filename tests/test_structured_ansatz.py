@@ -79,3 +79,39 @@ def test_engine_structured_autoderives_edges_and_converges():
     eng.train(obs, num_epochs=600, lr_born_machine=0.02, verbose=False,
               true_posterior_for_tvd=post)
     assert eng.best_tvd_ < 0.05, eng.best_tvd_
+
+
+@pytest.mark.parametrize("n,L", [(5, 3), (9, 2), (10, 4)])
+def test_flat_executor_matches_2d_and_reference(n, L):
+    """Production flat (blocked-machinery) structured executor: probs and
+    grads match the 2D flip-select executor and the per-gate reference,
+    including edges inside the trailing block (the (128,128)-embedding and
+    host-composed-permutation paths)."""
+    from tensornetworks_tpu.sim.structured import make_structured_probs_fn_flat
+
+    rng = np.random.default_rng(n * 10 + L)
+    # edges stressing every path: cross, trailing-target, in-trailing-block
+    edges = [(0, 1), (1, n - 1), (n - 2, n - 1), (n - 1, n - 2), (2, n - 2)]
+    edges = [(c, t) for c, t in edges if c != t and c < n and t < n]
+    p = jnp.asarray(0.1 * rng.normal(size=3 * L * n), dtype=jnp.float32)
+    flat = make_structured_probs_fn_flat(n, L, edges)
+    p2d = make_structured_probs_fn(n, L, edges)
+    ref = _reference_probs(p, n, L, edges)
+    np.testing.assert_allclose(np.asarray(flat(p)), np.asarray(ref), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(flat(p)), np.asarray(p2d(p)), atol=5e-6)
+    v = jnp.asarray(rng.normal(size=2**n), dtype=jnp.float32)
+    g1 = jax.grad(lambda q: flat(q) @ v)(p)
+    g2 = jax.grad(lambda q: p2d(q).astype(jnp.float32) @ v)(p)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-5)
+
+
+def test_qbm_structured_backend_routing():
+    qbm = QuantumBornMachine(4, 2, ansatz_type="bn_structured",
+                             edges=[(0, 1), (2, 3)])
+    assert qbm.backend == "structured"
+    qbm2 = QuantumBornMachine(4, 2, ansatz_type="bn_structured",
+                              edges=[(0, 1), (2, 3)], backend="structured2d")
+    assert qbm2.backend == "structured2d"
+    p = qbm.init(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(qbm.probs(p)),
+                               np.asarray(qbm2.probs(p)), atol=5e-6)

@@ -109,6 +109,7 @@ def run_ksd_scan(
     resume_state_path: Optional[str] = None,
     fail_after_chunks: Optional[int] = None,
     stein_args_schedule=None,
+    reuse_loss_forward_for_eval: bool = False,
 ):
     """One jitted training program shared by the classical and quantum KSD
     engines. Returns (final_params, best dict, history arrays, stop_epoch).
@@ -142,7 +143,18 @@ def run_ksd_scan(
     ``stein_args_schedule`` (chunked mode only): ``chunk_index -> tuple`` of
     per-chunk operator tables replacing ``stein_args`` — the tempered-target
     hook (train against p^β with β annealed chunk-by-chunk). Shapes must
-    match across chunks (the chunk program is compiled once)."""
+    match across chunks (the chunk program is compiled once).
+
+    ``reuse_loss_forward_for_eval``: epoch t's post-update probabilities are
+    exactly epoch t+1's loss-forward probabilities, so with this flag the
+    per-epoch TVD/best-snapshot evaluation consumes the loss forward instead
+    of running a second forward — halving forwards per epoch (one final
+    deterministic eval outside the scan covers the last epoch). Requires
+    ``probs_fn`` to be deterministic and equal to ``eval_probs_fn`` (true
+    for the quantum engines; NOT for a dropout-regularized classical BM) and
+    shifts early-stop *decisions* one epoch later (the quantum engine does
+    not early-stop). Best-snapshot/restore semantics are unchanged: every
+    post-update state including the last is still a candidate."""
     if stein_args_schedule is not None and not chunk_epochs:
         raise ValueError("stein_args_schedule requires chunk_epochs")
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -162,15 +174,33 @@ def run_ksd_scan(
                        else op.ksd_loss(q))
                 ent = -(q * jnp.log(jnp.clip(q, 1e-10, None))).sum()
                 loss = ksd if entropy_weight is None else ksd - entropy_weight * ent
-                return loss, (ksd, ent)
+                return loss, (ksd, ent, q)
 
-            (loss, (ksd, ent)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, (ksd, ent, q_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             gnorm = global_norm(grads)
             do_update = jnp.isfinite(loss) & ~stopped
-            params, opt_state = guarded_update(optimizer, grads, opt_state, params, do_update)
 
-            q_eval = eval_probs_fn(params)
-            if track_tvd:
+            if reuse_loss_forward_for_eval and track_tvd:
+                # q_loss at the CURRENT params is the previous epoch's
+                # post-update distribution (or the init at epoch 0) — use it
+                # as that epoch's eval; the final epoch is evaluated once
+                # after the scan. Saves a full circuit forward per epoch.
+                tvd = 0.5 * jnp.abs(q_loss - pv).sum()
+                # epoch 0's q_loss is the INIT state — not a best candidate
+                # (parity with the two-forward path / reference, which track
+                # from the first post-update state).
+                improved = (tvd < best_tvd) & ~stopped & (epoch > 0)
+                best_tvd = jnp.where(improved, tvd, best_tvd)
+                best_epoch = jnp.where(improved, epoch - 1, best_epoch)
+                best_params = tree_select(improved, params, best_params)
+                best_probs = jnp.where(improved, q_loss, best_probs)
+                esi = jnp.where(stopped, esi, jnp.where(improved, 0, esi + 1))
+                if early_stopping:
+                    stopped = stopped | ((esi > patience) & (epoch > min_epochs_before_stop))
+                params, opt_state = guarded_update(optimizer, grads, opt_state, params, do_update)
+            elif track_tvd:
+                params, opt_state = guarded_update(optimizer, grads, opt_state, params, do_update)
+                q_eval = eval_probs_fn(params)
                 tvd = 0.5 * jnp.abs(q_eval - pv).sum()
                 improved = (tvd < best_tvd) & ~stopped
                 best_tvd = jnp.where(improved, tvd, best_tvd)
@@ -181,6 +211,7 @@ def run_ksd_scan(
                 if early_stopping:
                     stopped = stopped | ((esi > patience) & (epoch > min_epochs_before_stop))
             else:
+                params, opt_state = guarded_update(optimizer, grads, opt_state, params, do_update)
                 tvd = jnp.asarray(jnp.nan, dtype=dtype)
 
             if log_every:
@@ -264,6 +295,27 @@ def run_ksd_scan(
             make_epoch_step(stein_args, posterior_vec), init, jnp.arange(num_epochs)
         )
     ksd_hist, tvd_hist, gnorm_hist, ent_hist, stopped_hist, skipped_hist = outs
+    if reuse_loss_forward_for_eval and track_tvd:
+        # Final epoch's post-update eval (the in-scan evals lag one epoch)
+        # + history shift so tvd_hist[t] is epoch t's post-update TVD,
+        # matching the non-reuse path exactly.
+        def _final(p, pv, bt, be, bp, bq, th):
+            q_last = eval_probs_fn(p)
+            tvd_last = 0.5 * jnp.abs(q_last - pv).sum()
+            improved = tvd_last < bt
+            bt = jnp.where(improved, tvd_last, bt)
+            be = jnp.where(improved, num_epochs - 1, be)
+            bp = tree_select(improved, p, bp)
+            bq = jnp.where(improved, q_last, bq)
+            th = jnp.concatenate(
+                [th[1: 1 + stop_len - 1], tvd_last[None].astype(th.dtype)])
+            return bt, be, bp, bq, th
+
+        stop_len = tvd_hist.shape[0]
+        fin = jax.jit(_final) if (chunk_epochs and chunk_epochs < num_epochs) else _final
+        (best_tvd, best_epoch, best_params, best_probs, tvd_hist) = fin(
+            params, posterior_vec, best_tvd, best_epoch, best_params,
+            best_probs, tvd_hist)
     return {
         "params": params,
         "best_tvd": best_tvd,
@@ -554,6 +606,9 @@ class QuantumKSDVariationalInference:
                 stein_args=tables, chunk_epochs=chunk_epochs,
                 resume_state_path=resume_state_path,
                 stein_args_schedule=schedule,
+                # quantum probs are deterministic (no dropout), so the TVD
+                # eval reuses the loss forward — one circuit fwd per epoch.
+                reuse_loss_forward_for_eval=True,
             )
 
         if chunk_epochs:

@@ -121,3 +121,40 @@ def test_prior_tabulation_matches_reference_semantics(sprinkler):
     # log p(x|z) table spot check: z=(1,0,1): p(W=1|S=0,R=1) = 0.9
     table = m._log_p_x_given_z_table({"W": 1})
     assert abs(table[0b101] - np.log(0.9 + 1e-9)) < 1e-6
+
+
+def test_eval_reuse_matches_two_forward_path():
+    """reuse_loss_forward_for_eval must give the SAME tvd history, best
+    snapshot, and final params as the two-forward path (the quantum forward
+    is deterministic, so the reused loss forward equals the separate eval)."""
+    import jax
+    import jax.numpy as jnp
+    from tensornetworks_tpu.core import get_sprinkler_network
+    from tensornetworks_tpu.engines.common import make_optimizer
+    from tensornetworks_tpu.engines.ksd import run_ksd_scan
+    from tensornetworks_tpu.models import QuantumBornMachine
+    from tensornetworks_tpu.ops import SteinOperator, score_table
+
+    bn = get_sprinkler_network()
+    t = bn.conditional_joint_table(["C", "S", "R"], {"W": 1})
+    op = SteinOperator(score_table(t), 3, 1.0)
+    pv = jnp.asarray(bn.posterior_vector(["C", "S", "R"], {"W": 1}),
+                     dtype=jnp.float32)
+    qbm = QuantumBornMachine(3, ansatz_layers=2)
+    p0 = qbm.init(jax.random.PRNGKey(1))
+    kw = dict(
+        probs_fn=lambda p, rng: qbm.probs(p).astype(jnp.float32),
+        eval_probs_fn=lambda p: qbm.probs(p).astype(jnp.float32),
+        params0=p0, op=op, num_epochs=30,
+        optimizer=make_optimizer("adam", 5e-3, 30, True, (0.9, 0.999), 10.0),
+        entropy_weight=None, posterior_vec=pv, early_stopping=False,
+        patience=0, key=jax.random.PRNGKey(0))
+    a = run_ksd_scan(**kw, reuse_loss_forward_for_eval=False)
+    b = run_ksd_scan(**kw, reuse_loss_forward_for_eval=True)
+    np.testing.assert_allclose(np.asarray(a["tvd"]), np.asarray(b["tvd"]),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(a["params"]), np.asarray(b["params"]))
+    np.testing.assert_array_equal(np.asarray(a["best_params"]),
+                                  np.asarray(b["best_params"]))
+    assert float(a["best_tvd"]) == float(b["best_tvd"])
+    assert int(a["best_epoch"]) == int(b["best_epoch"])

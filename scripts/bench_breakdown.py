@@ -121,13 +121,18 @@ def main():
         opt = make_optimizer("adam", 5e-3, 1000)
         post = q0
 
+        def loss_q(p, *tabs):
+            q = qbm.probs(p).astype(jnp.float32)
+            return op.ksd_loss_from(q, *tabs), q
+
         def epoch(carry, *tabs):
+            # engine-shaped epoch with eval reuse: the loss forward's q IS
+            # the previous epoch's post-update eval (engines/ksd.py).
             p, s = carry
-            l, g = jax.value_and_grad(loss)(p, *tabs)
+            (l, q), g = jax.value_and_grad(loss_q, has_aux=True)(p, *tabs)
+            tvd = 0.5 * jnp.abs(q - post).sum()
             upd, s = opt.update(g, s, p)
             p = optax.apply_updates(p, upd)
-            q = qbm.probs(p).astype(jnp.float32)
-            tvd = 0.5 * jnp.abs(q - post).sum()
             return (p + 0.0 * tvd, s)
 
         timed_scan(epoch, (params, opt.init(params)), iters,

@@ -136,8 +136,8 @@ def main():
             return (p + 0.0 * tvd, s)
 
         timed_scan(epoch, (params, opt.init(params)), iters,
-                   "full epoch (fwd+bwd+update+TVD eval)",
-                   flops=4 * circ_fwd_flops + mv_flops, consts=tables)
+                   "full epoch (fwd+bwd+update+TVD, eval-reuse)",
+                   flops=3 * circ_fwd_flops + mv_flops, consts=tables)
 
 
 if __name__ == "__main__":

@@ -4,9 +4,9 @@ Hardware-efficient circuits stall at TVD ≈ 0.82 under cold-start KSD at 16
 qubits, at any depth, length scale, or init scheme (RESULTS.md "Objective
 quality at scale"). Wiring the entanglers along the Bayesian network's own
 edges (`ansatz_type="bn_structured"`; same 3·L·n parameter count) fixes it:
-measured best TVD ≈ **0.15** on one TPU v5e chip with this configuration
-(float-op ordering varies slightly across executor versions) — and the
-edges are derived from the network automatically.
+measured best TVD ≈ **0.15** after 3000 epochs and **0.064** after 12000
+(one TPU v5e chip; float-op ordering varies slightly across executor
+versions) — and the edges are derived from the network automatically.
 
 Run: python examples/structured_ansatz_16_qubits.py
 """

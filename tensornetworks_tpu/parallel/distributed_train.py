@@ -3,7 +3,7 @@ circuit AND the state-sharded Stein operator.
 
 This is the n-beyond-single-chip-memory training path (SURVEY.md §5.7-5.8):
 every ``2^n``-length buffer — the statevector, the probability vector q, the
-score table S, the bits table B, and all 3n+1 Kronecker matvec columns — is
+score table S, the bits table B, and all n+1 Kronecker matvec columns — is
 sharded over the mesh's ``state`` axis, so per-device memory scales as
 ``2^n / D``. Circuit gates on global (device-axis) bits exchange partner
 shards via ``lax.ppermute`` over ICI; the Stein quadratic form mixes the
@@ -41,12 +41,15 @@ def make_distributed_stein_matvec(mesh: Mesh, num_vars: int,
     """Build ``matvec(q, S, B) -> K_p @ q`` with every operand sharded over
     the ``state`` mesh axis (q: (2^n,); S, B: (2^n, n) row-sharded).
 
-    Same closed-form recombination as ``ops.stein.stein_matvec`` (module
-    docstring there derives it), distributed: the 3n+1 weighted columns are
-    built locally (elementwise in the state index), the Kronecker base-kernel
-    apply splits into a local ``A^{⊗(n-k)}`` block matmul plus one
-    ``all_gather`` + dense per-device mixing for the k global bits, and the
-    recombination weights are again local rows.
+    n+1-column decomposition (``ops.stein.stein_matvec_gcorr`` derives it):
+    only ``[q, S_t∘q]`` ride the Kronecker apply — a local ``A^{⊗(n-k)}``
+    block matmul plus ONE ``all_gather`` + per-device mixing for the k
+    global bits — so the ICI payload is 2.9x smaller than the 3n+1 form.
+    The 2n bit-masked columns are closed-form 2x2 G-corrections applied
+    after the apply: for a LOCAL bit, an in-shard flip; for a GLOBAL
+    (device-axis) bit, the flipped-bit values are the partner shard's mix
+    of the SAME gathered buffer (one extra (D,)-row contraction per global
+    bit per needed column — no extra collective).
     """
     k = _num_global_bits(mesh)
     n = num_vars
@@ -54,39 +57,76 @@ def make_distributed_stein_matvec(mesh: Mesh, num_vars: int,
         raise ValueError(f"state axis ({1 << k} devices) exceeds 2^{n} states")
     a = decay_factor(n, length_scale)
     A = np.array([[1.0, a], [a, 1.0]])
+    inv = 1.0 / (1.0 - a * a)
+    G00, G01, G10, G11 = -a * a * inv, a * inv, -a * inv, inv
     Mk = kron_power_np(A, k)  # (D, D) global-bit mixing operator
     local_vars = n - k
+    rbl = (local_vars + 1) // 2
+    cbl = local_vars - rbl
     spec_v = P(STATE_AXIS)
     spec_m = P(STATE_AXIS, None)
+
+    def _flip_local(v, tl):
+        """Flip local (in-shard) bit ``tl`` of a (2^{n-k},) shard: sublane-
+        axis swap on the local 2D view (column bits through a transpose)."""
+        from ..ops.stein import _row_bit_flip
+
+        X = v.reshape(1 << rbl, 1 << cbl)
+        if tl < rbl:
+            return _row_bit_flip(X, tl).reshape(-1)
+        return _row_bit_flip(X.T, tl - rbl).T.reshape(-1)
 
     @partial(shard_map, mesh=mesh, in_specs=(spec_v, spec_m, spec_m),
              out_specs=spec_v)
     def matvec(q, S, B):
-        SB = S * B
-        V = jnp.concatenate(
-            [q[:, None], B * q[:, None], S * q[:, None], SB * q[:, None]],
-            axis=1)  # (2^n/D, 3n+1)
+        one2b = 1.0 - 2.0 * B
+        cs = G00 + (G11 - G00) * B
+        cf = G01 + (G10 - G01) * B
+        V = jnp.concatenate([q[:, None], S * q[:, None]], axis=1)  # (.., n+1)
         if local_vars > 0:
             V = kron_matvec(V, A, local_vars, group=group)
-        gathered = jax.lax.all_gather(V, STATE_AXIS)  # (D, 2^n/D, 3n+1)
+        gathered = jax.lax.all_gather(V, STATE_AXIS)  # (D, 2^n/D, n+1)
         idx = jax.lax.axis_index(STATE_AXIS)
-        row = jnp.take(jnp.asarray(Mk, dtype=V.dtype), idx, axis=0)  # (D,)
-        Y = jnp.tensordot(row, gathered, axes=(0, 0))  # (2^n/D, 3n+1)
+        Mk_dev = jnp.asarray(Mk, dtype=V.dtype)
+        row = jnp.take(Mk_dev, idx, axis=0)  # (D,)
+        Y = jnp.tensordot(row, gathered, axes=(0, 0))  # (2^n/D, n+1)
+        P0, Q = Y[:, 0], Y[:, 1:]
 
-        P0, Pm = Y[:, 0], Y[:, 1:n + 1]
-        Q, T = Y[:, n + 1:2 * n + 1], Y[:, 2 * n + 1:]
-        u = SB.sum(axis=1)
+        wP1 = S * one2b
+        sum_wP1 = (wP1 * cs).sum(axis=1)
+        sum_wP2 = (one2b * cs).sum(axis=1)
+        sum_wT = ((one2b * cs) * Q).sum(axis=1)
+        accP1 = jnp.zeros_like(P0)
+        accP2 = jnp.zeros_like(P0)
+        accT = jnp.zeros_like(P0)
+        for t in range(n):
+            vP1_t = wP1[:, t] * cf[:, t]
+            vP2_t = one2b[:, t] * cf[:, t]
+            if t < k:
+                # global bit: partner-shard values of [Kq, K(S_t q)] are a
+                # second Mk-row mix of the already-gathered buffer
+                row_p = jnp.take(Mk_dev, idx ^ (1 << (k - 1 - t)), axis=0)
+                P0p = jnp.tensordot(row_p, gathered[..., 0], axes=(0, 0))
+                Qtp = jnp.tensordot(row_p, gathered[..., 1 + t], axes=(0, 0))
+            else:
+                tl = t - k
+                P0p = _flip_local(P0, tl)
+                Qtp = _flip_local(Q[:, t], tl)
+            accP1 = accP1 + vP1_t * P0p
+            accP2 = accP2 + vP2_t * P0p
+            accT = accT + vP2_t * Qtp
+
+        u = (S * B).sum(axis=1)
         R = S.sum(axis=1)
         h = B.sum(axis=1)
         c1 = 1.0 - 1.0 / a
         c2 = 1.0 - a
-
         term_G = (S * Q).sum(axis=1)
-        y_T1 = u * P0 + (S * (1.0 - 2.0 * B) * Pm).sum(axis=1)
-        y_T1t = T.sum(axis=1) + (B * (Q - 2.0 * T)).sum(axis=1)
+        y_T1 = u * P0 + sum_wP1 * P0 + accP1
+        y_T1t = sum_wT + accT + (B * Q).sum(axis=1)
         y_Ri = R * P0
         y_Rj = Q.sum(axis=1)
-        y_D = h * P0 + Pm.sum(axis=1) - 2.0 * (B * Pm).sum(axis=1)
+        y_D = h * P0 + sum_wP2 * P0 + accP2
 
         return (
             term_G

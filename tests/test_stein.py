@@ -284,3 +284,32 @@ def test_matvec_gcorr_matches_dense():
             y = np.asarray(stein_matvec_gcorr(q, S, B, n, kron=kron))
             np.testing.assert_allclose(y, y_ref, rtol=1e-10,
                                        atol=1e-10 * np.abs(y_ref).max())
+
+
+def test_operator_gcorr_2d_window_real_scores():
+    # The production operator path (gcorr tables, kron='2d') at a 13-qubit
+    # real-score-table size vs the dense Gram, including quadform grad.
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tensornetworks_tpu.core import get_random_chain_network
+    from tensornetworks_tpu.ops import SteinOperator, score_table
+    from tensornetworks_tpu.ops.stein import stein_gram_dense
+
+    n = 13
+    bn = get_random_chain_network(n + 1, seed=3)
+    t = bn.conditional_joint_table([f"V{i}" for i in range(n)], {f"V{n}": 1})
+    S = score_table(t)
+    op = SteinOperator(S, n, dense=False)
+    assert op.gcorr is not None and op._gcorr_kron == "2d"
+    q = jnp.asarray(np.random.default_rng(0).dirichlet(np.ones(2**n)),
+                    dtype=jnp.float32)
+    Kp = stein_gram_dense(jnp.asarray(S, dtype=jnp.float64), n,
+                          dtype=jnp.float64)
+    y_ref = np.asarray(Kp @ np.asarray(q, dtype=np.float64))
+    y = np.asarray(op.matvec(q))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-4,
+                               atol=2e-4 * np.abs(y_ref).max())
+    g = np.asarray(jax.grad(lambda x: op.quadform_from(x, *op.args()))(q))
+    np.testing.assert_allclose(g, 2.0 * y_ref, rtol=2e-4,
+                               atol=4e-4 * np.abs(y_ref).max())

@@ -5,8 +5,9 @@ Same recipe as the 16-qubit example, two sizes up: a random 21-variable
 binary Bayesian network, exact posterior over the 2^20 latent assignments
 as the evaluation oracle, and a quantum Born machine whose entangling map
 is the network's own latent sub-DAG (auto-derived). Measured on one v5e
-chip: best TVD **0.082** after 6000 KSD epochs (~20 minutes wall; loss
-40.0 → 0.018, still improving) — the hardware-efficient ansatz cannot get
+chip: best TVD **0.082** after 6000 KSD epochs and **0.052** after 24000
+(~27 minutes wall at ~14.6 epochs/s; still improving) — the
+hardware-efficient ansatz cannot get
 below ~0.8 from a cold start at this scale, and the reference
 implementation's per-epoch cost here would be ~4^20 Python-scalar Stein
 kernel evaluations.

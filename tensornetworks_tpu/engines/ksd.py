@@ -58,7 +58,18 @@ def _posterior_vec_from(true_posterior, num_latent_vars, dtype):
     return jnp.asarray(vec, dtype=dtype)
 
 
-def _save_chunk_state(path: str, carry, parts, next_start: int) -> None:
+def _resume_fingerprint(init_carry, num_epochs: int, chunk_epochs: int) -> str:
+    """Config fingerprint stored in the resume snapshot: resuming after
+    changing the epoch budget, chunking, model/optimizer shapes or dtypes
+    would silently replay a stale carry — refuse instead."""
+    leaves = jax.tree_util.tree_leaves(init_carry)
+    shapes = ";".join(f"{tuple(np.shape(x))}:{np.asarray(x).dtype}"
+                      for x in leaves)
+    return f"v2|epochs={num_epochs}|chunk={chunk_epochs}|{shapes}"
+
+
+def _save_chunk_state(path: str, carry, parts, next_start: int,
+                      fingerprint: str) -> None:
     """Durable chunk-resume snapshot: every carry leaf + the per-epoch
     history recorded so far, written atomically (tmp + rename)."""
     import os
@@ -69,16 +80,24 @@ def _save_chunk_state(path: str, carry, parts, next_start: int) -> None:
     payload = {f"carry{i}": np.asarray(x) for i, x in enumerate(leaves)}
     payload.update({f"out{i}": np.asarray(x) for i, x in enumerate(outs)})
     payload["next_start"] = np.asarray(next_start)
+    payload["fingerprint"] = np.asarray(fingerprint)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **payload)
     os.replace(tmp, path)
 
 
-def _load_chunk_state(path: str, init_carry):
+def _load_chunk_state(path: str, init_carry, fingerprint: str):
     """Inverse of ``_save_chunk_state``; ``init_carry`` supplies the pytree
     structure (the numpy roundtrip is bit-exact, so a resumed run replays
-    identically to an uninterrupted one)."""
+    identically to an uninterrupted one). Raises if the snapshot was written
+    under a different config fingerprint."""
     data = np.load(path)
+    saved = str(data["fingerprint"]) if "fingerprint" in data.files else None
+    if saved != fingerprint:
+        raise ValueError(
+            f"resume snapshot {path!r} was written under a different "
+            f"configuration (saved fingerprint {saved!r} != current "
+            f"{fingerprint!r}); delete it or restore the original config")
     treedef = jax.tree_util.tree_structure(init_carry)
     n_leaves = treedef.num_leaves
     carry = jax.tree_util.tree_unflatten(
@@ -165,7 +184,7 @@ def run_ksd_scan(
 
     def make_epoch_step(sa, pv):
         def epoch_step(carry, epoch):
-            params, opt_state, k, best_tvd, best_epoch, best_params, best_probs, esi, stopped = carry
+            params, opt_state, k, best_tvd, best_epoch, best_params, esi, stopped = carry
             k, sub = jax.random.split(k)
 
             def loss_fn(p):
@@ -180,6 +199,11 @@ def run_ksd_scan(
             gnorm = global_norm(grads)
             do_update = jnp.isfinite(loss) & ~stopped
 
+            # NOTE: the best 2^n probability vector is NOT carried through the
+            # scan — eval_probs_fn is deterministic in both engines, so it is
+            # recomputed once post-scan as eval_probs_fn(best_params)
+            # (bit-identical; saves an O(2^n) carry read-modify-write per
+            # epoch at large n).
             if reuse_loss_forward_for_eval and track_tvd:
                 # q_loss at the CURRENT params is the previous epoch's
                 # post-update distribution (or the init at epoch 0) — use it
@@ -193,7 +217,6 @@ def run_ksd_scan(
                 best_tvd = jnp.where(improved, tvd, best_tvd)
                 best_epoch = jnp.where(improved, epoch - 1, best_epoch)
                 best_params = tree_select(improved, params, best_params)
-                best_probs = jnp.where(improved, q_loss, best_probs)
                 esi = jnp.where(stopped, esi, jnp.where(improved, 0, esi + 1))
                 if early_stopping:
                     stopped = stopped | ((esi > patience) & (epoch > min_epochs_before_stop))
@@ -206,7 +229,6 @@ def run_ksd_scan(
                 best_tvd = jnp.where(improved, tvd, best_tvd)
                 best_epoch = jnp.where(improved, epoch, best_epoch)
                 best_params = tree_select(improved, params, best_params)
-                best_probs = jnp.where(improved, q_eval, best_probs)
                 esi = jnp.where(stopped, esi, jnp.where(improved, 0, esi + 1))
                 if early_stopping:
                     stopped = stopped | ((esi > patience) & (epoch > min_epochs_before_stop))
@@ -228,7 +250,7 @@ def run_ksd_scan(
                     (epoch, ksd, tvd),
                 )
 
-            carry = (params, opt_state, k, best_tvd, best_epoch, best_params, best_probs, esi, stopped)
+            carry = (params, opt_state, k, best_tvd, best_epoch, best_params, esi, stopped)
             return carry, (ksd, tvd, gnorm, ent, stopped, ~do_update & ~stopped)
 
         return epoch_step
@@ -236,9 +258,13 @@ def run_ksd_scan(
     init = (
         params0, opt_state, key,
         jnp.asarray(jnp.inf, dtype=dtype), jnp.asarray(-1),
-        params0, q0, jnp.asarray(0), jnp.asarray(False),
+        params0, jnp.asarray(0), jnp.asarray(False),
     )
-    if chunk_epochs and chunk_epochs < num_epochs:
+    epochs_dispatched = 0
+    if chunk_epochs:
+        # Chunked mode (also taken when chunk_epochs >= num_epochs: one
+        # jitted chunk — callers of chunked mode never jit-wrap this
+        # function, so the single-scan branch would dispatch eagerly).
         # sa/pv arrive as (possibly empty) tuple operands so the per-chunk
         # jit never bakes large tables in as HLO constants.
         def _scan_chunk(carry, epochs, sa_t, pv_t):
@@ -250,12 +276,13 @@ def run_ksd_scan(
         sa_t = tuple(stein_args) if stein_args is not None else ()
         pv_t = (posterior_vec,) if track_tvd else ()
         carry, parts, start = init, [], 0
+        fingerprint = _resume_fingerprint(init, num_epochs, chunk_epochs)
         if resume_state_path:
             import os
 
             if os.path.exists(resume_state_path):
                 carry, prev_outs, start = _load_chunk_state(
-                    resume_state_path, init)
+                    resume_state_path, init, fingerprint)
                 if prev_outs is not None:
                     parts.append(prev_outs)
         done_chunks = 0
@@ -269,12 +296,13 @@ def run_ksd_scan(
             carry, o = scan_chunk(carry, epochs, sa_t, pv_t)
             # Sync point: the previous program must finish before the next
             # launches (bounded-runtime backends kill long programs).
-            stopped_now = bool(np.asarray(carry[8]))
+            stopped_now = bool(np.asarray(carry[7]))
             parts.append(o)
             done_chunks += 1
+            epochs_dispatched += int(len(epochs))
             if resume_state_path:
                 _save_chunk_state(resume_state_path, carry, parts,
-                                  s + len(epochs))
+                                  s + len(epochs), fingerprint)
             if fail_after_chunks is not None and done_chunks >= fail_after_chunks:
                 raise RuntimeError(
                     f"fault injection: killed after {done_chunks} chunks")
@@ -289,33 +317,40 @@ def run_ksd_scan(
                 os.remove(resume_state_path)
         outs = (parts[0] if len(parts) == 1
                 else jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts))
-        (params, _, _, best_tvd, best_epoch, best_params, best_probs, _, _) = carry
+        (params, _, _, best_tvd, best_epoch, best_params, _, _) = carry
     else:
-        (params, _, _, best_tvd, best_epoch, best_params, best_probs, _, _), outs = jax.lax.scan(
+        (params, _, _, best_tvd, best_epoch, best_params, _, _), outs = jax.lax.scan(
             make_epoch_step(stein_args, posterior_vec), init, jnp.arange(num_epochs)
         )
+        epochs_dispatched = num_epochs
     ksd_hist, tvd_hist, gnorm_hist, ent_hist, stopped_hist, skipped_hist = outs
     if reuse_loss_forward_for_eval and track_tvd:
         # Final epoch's post-update eval (the in-scan evals lag one epoch)
         # + history shift so tvd_hist[t] is epoch t's post-update TVD,
-        # matching the non-reuse path exactly.
-        def _final(p, pv, bt, be, bp, bq, th):
+        # matching the non-reuse path exactly. best_probs is recomputed from
+        # best_params (deterministic eval) rather than carried in the scan.
+        last_epoch = int(tvd_hist.shape[0]) - 1
+
+        def _final(p, pv, bt, be, bp, th):
             q_last = eval_probs_fn(p)
             tvd_last = 0.5 * jnp.abs(q_last - pv).sum()
             improved = tvd_last < bt
             bt = jnp.where(improved, tvd_last, bt)
-            be = jnp.where(improved, num_epochs - 1, be)
+            be = jnp.where(improved, last_epoch, be)
             bp = tree_select(improved, p, bp)
-            bq = jnp.where(improved, q_last, bq)
+            bq = jnp.where(improved, q_last, eval_probs_fn(bp))
             th = jnp.concatenate(
                 [th[1: 1 + stop_len - 1], tvd_last[None].astype(th.dtype)])
             return bt, be, bp, bq, th
 
         stop_len = tvd_hist.shape[0]
-        fin = jax.jit(_final) if (chunk_epochs and chunk_epochs < num_epochs) else _final
+        fin = jax.jit(_final) if chunk_epochs else _final
         (best_tvd, best_epoch, best_params, best_probs, tvd_hist) = fin(
             params, posterior_vec, best_tvd, best_epoch, best_params,
-            best_probs, tvd_hist)
+            tvd_hist)
+    else:
+        bq_fn = jax.jit(eval_probs_fn) if chunk_epochs else eval_probs_fn
+        best_probs = bq_fn(best_params)
     return {
         "params": params,
         "best_tvd": best_tvd,
@@ -328,6 +363,7 @@ def run_ksd_scan(
         "entropy": ent_hist,
         "stopped": stopped_hist,
         "skipped": skipped_hist,
+        "epochs_dispatched": epochs_dispatched,
     }
 
 
@@ -446,7 +482,11 @@ class KSDVariationalInference:
             {k: out[k] for k in ("loss_ksd", "tvd", "grad_norm", "entropy")},
             length=stop_epoch,
         )
-        history["epochs_per_sec"] = stop_epoch / elapsed if elapsed > 0 else float("inf")
+        # Rate over the epochs actually dispatched THIS invocation (a resumed
+        # chunked run skips completed chunks; dividing the full stop_epoch by
+        # the remaining-chunks wall time would inflate the metric).
+        ran = min(stop_epoch, out["epochs_dispatched"])
+        history["epochs_per_sec"] = ran / elapsed if elapsed > 0 else float("inf")
         history["train_seconds"] = elapsed
         history["num_skipped_updates"] = int(np.asarray(out["skipped"]).sum())
         self.history_ = history
@@ -635,7 +675,10 @@ class QuantumKSDVariationalInference:
         history = history_to_numpy(
             {k: out[k] for k in ("loss_ksd", "tvd", "grad_norm")}
         )
-        history["epochs_per_sec"] = num_epochs / elapsed if elapsed > 0 else float("inf")
+        # Rate over the epochs dispatched THIS invocation (see classical
+        # engine note — resumed runs only pay for the remaining chunks).
+        history["epochs_per_sec"] = (out["epochs_dispatched"] / elapsed
+                                     if elapsed > 0 else float("inf"))
         history["train_seconds"] = elapsed
         history["num_skipped_updates"] = int(np.asarray(out["skipped"]).sum())
         self.history_ = history

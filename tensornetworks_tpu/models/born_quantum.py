@@ -149,6 +149,10 @@ class QuantumBornMachine:
 
     def state(self, params: jnp.ndarray, x_condition=None) -> jnp.ndarray:
         """Full statevector ψ(θ) as a (2,)*n tensor."""
+        if self.ansatz_type == "bn_structured":
+            raise NotImplementedError(
+                "bn_structured exposes probabilities only (its executor "
+                "works on |amplitude|^2 planes); use probs/sample/log_q")
         if self.conditioning_dim > 0:
             if x_condition is None:
                 raise ValueError("x_condition must be provided for a conditioned "
@@ -157,10 +161,6 @@ class QuantumBornMachine:
                 (2,) * self.num_latent_vars)
         if self._blocked_state is not None:
             return self._blocked_state(params).reshape((2,) * self.num_latent_vars)
-        if self.ansatz_type == "bn_structured":
-            raise NotImplementedError(
-                "bn_structured exposes probabilities only (its executor "
-                "works on |amplitude|^2 planes); use probs/sample/log_q")
         return ansatz_state_fn(self.ansatz_type)(params, self.num_latent_vars,
                                                  self.ansatz_layers, dtype=self.dtype)
 

@@ -59,6 +59,40 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["hardware_efficient", "all_to_all", "basic",
                             "bn_structured"])
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--backend", type=str, default="auto",
+                   help="circuit executor (auto|blocked|pallas2d|"
+                        "structured|structured2d|einsum)")
+    s.add_argument("--chunk-epochs", type=int, default=None,
+                   help="split training into bounded device programs "
+                        "(required on runtime-bounded backends for long runs)")
+    s.add_argument("--resume-state", type=str, default=None,
+                   help="durable .npz chunk-resume path (with --chunk-epochs)")
+    s.add_argument("--temper-betas", type=str, default=None,
+                   help="comma-separated per-chunk inverse temperatures, "
+                        "e.g. 0.25,0.5,0.75,1.0 (with --chunk-epochs)")
+    s.add_argument("--num-samples", type=int, default=1024,
+                   help="shots per epoch for --objective sampled-ksd")
+    s.add_argument("--checkpoint", type=str, default=None,
+                   help="Orbax checkpoint path written after training")
+    s.add_argument("--mesh", type=int, default=None,
+                   help="shard the 2^n state over this many devices "
+                        "(distributed KSD engine; ksd objective only)")
+
+    am = sub.add_parser("amortized",
+                        help="amortized KSD over ALL observations at once")
+    am.add_argument("--qubits", type=int, default=4)
+    am.add_argument("--epochs", type=int, default=1500)
+    am.add_argument("--lr", type=float, default=3e-3)
+    am.add_argument("--layers", type=int, default=4,
+                    help="ansatz layers (quantum born machine)")
+    am.add_argument("--quantum", action="store_true",
+                    help="conditioned quantum Born machine instead of the "
+                         "conditional classical one")
+    am.add_argument("--ansatz", type=str, default="hardware_efficient",
+                    choices=["hardware_efficient", "all_to_all", "basic",
+                             "bn_structured"])
+    am.add_argument("--entropy-weight", type=float, default=1e-3)
+    am.add_argument("--seed", type=int, default=0)
     return p
 
 
@@ -92,12 +126,34 @@ def main(argv=None):
                                 k_born_steps=args.k_born, seed=args.seed)
         return run_sprinkler_experiment(cfg, plot_path=args.plot)
     if args.command == "scale":
+        betas = ([float(b) for b in args.temper_betas.split(",")]
+                 if args.temper_betas else None)
+        if args.mesh:
+            from .scale_distributed import run_distributed_scale_experiment
+
+            return run_distributed_scale_experiment(
+                num_qubits=args.qubits, layers=args.layers,
+                num_epochs=args.epochs, lr=args.lr, seed=args.seed,
+                ansatz=args.ansatz, num_devices=args.mesh,
+                chunk_epochs=args.chunk_epochs)
         from .scale import run_scale_experiment
 
         return run_scale_experiment(num_qubits=args.qubits, layers=args.layers,
                                     num_epochs=args.epochs, lr=args.lr,
                                     objective=args.objective, seed=args.seed,
-                                    ansatz=args.ansatz)
+                                    ansatz=args.ansatz, backend=args.backend,
+                                    chunk_epochs=args.chunk_epochs,
+                                    resume_state_path=args.resume_state,
+                                    temper_betas=betas,
+                                    num_samples=args.num_samples,
+                                    checkpoint_path=args.checkpoint)
+    if args.command == "amortized":
+        from .amortized import run_amortized_experiment
+
+        return run_amortized_experiment(
+            num_qubits=args.qubits, num_epochs=args.epochs, lr=args.lr,
+            layers=args.layers, quantum=args.quantum, ansatz=args.ansatz,
+            entropy_weight=args.entropy_weight, seed=args.seed)
     raise SystemExit(f"unknown command {args.command}")
 
 

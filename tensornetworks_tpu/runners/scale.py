@@ -31,7 +31,16 @@ def make_scale_problem(num_qubits: int, seed: int = 0):
 def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int = 200,
                          lr: float = 5e-3, objective: str = "ksd", seed: int = 0,
                          verbose: bool = True, track_tvd: Optional[bool] = None,
-                         ansatz: str = "hardware_efficient"):
+                         ansatz: str = "hardware_efficient",
+                         chunk_epochs: Optional[int] = None,
+                         resume_state_path: Optional[str] = None,
+                         temper_betas=None, backend: str = "auto",
+                         num_samples: int = 1024,
+                         checkpoint_path: Optional[str] = None):
+    """``chunk_epochs``/``resume_state_path``/``temper_betas``/``backend``
+    plumb straight into the quantum KSD engine (see
+    ``QuantumKSDVariationalInference.train``); ``num_samples`` applies to
+    ``objective='sampled-ksd'`` only."""
     bn, latent, observed = make_scale_problem(num_qubits, seed)
     # Exact posterior tracking is cheap up to ~20 vars (dense 2^n vector).
     if track_tvd is None:
@@ -42,11 +51,15 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
         model = QuantumKSDVariationalInference(
             bn, latent, list(observed.keys()), qbm_num_latent_vars=num_qubits,
             qbm_ansatz_layers=layers, qbm_ansatz_type=ansatz,
-            qbm_init_method="small_random", seed=seed,
+            qbm_init_method="small_random", seed=seed, qbm_backend=backend,
         )
         history = model.train(observed, num_epochs=num_epochs, lr_born_machine=lr,
                               verbose=verbose, true_posterior_for_tvd=posterior,
-                              gradient_clip_norm=10.0)
+                              gradient_clip_norm=10.0,
+                              chunk_epochs=chunk_epochs,
+                              resume_state_path=resume_state_path,
+                              temper_betas=temper_betas,
+                              checkpoint_path=checkpoint_path)
     elif objective == "adversarial":
         # BASELINE.json config 4: quantum Born machine under the adversarial
         # objective (a combination the reference never wired up).
@@ -76,13 +89,14 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
         model = SampledKSDVariationalInference(
             bn, latent, list(observed.keys()), qbm_ansatz_layers=layers,
             qbm_ansatz_type="hardware_efficient",
-            qbm_init_method="small_random", num_samples=1024, seed=seed,
+            qbm_init_method="small_random", num_samples=num_samples, seed=seed,
         )
         history = model.train(observed, num_epochs=num_epochs,
                               lr_born_machine=lr, verbose=verbose,
                               true_posterior_for_tvd=posterior,
                               gradient_clip_norm=10.0,
-                              chunk_epochs=50 if num_qubits >= 20 else None)
+                              chunk_epochs=(chunk_epochs if chunk_epochs
+                                            else (50 if num_qubits >= 20 else None)))
     else:
         raise ValueError(f"unknown objective {objective!r}")
 

@@ -183,6 +183,305 @@ def make_structured_probs_fn_flat(num_wires: int, layers: int,
     return probs
 
 
+# ---------------------------------------------------------------------------
+# GF(2)-composed executor: the round-3 production path.
+#
+# Every CNOT is linear over GF(2) on the basis-state index bits, so a whole
+# even layer's edge sequence composes into ONE invertible GF(2) matrix A
+# (A = Π_(c,t) (I + e_t e_cᵀ), applied in edge order). On the (R, C)
+# super-block view of the state (rows = leading rb qubits, cols = the rest),
+# a block-LU factorization of A turns the layer into
+#
+#   A = [[I,0],[B,I]] · [[I,G],[0,I]] · [[Arr,0],[0,Sc]]
+#
+# i.e. (1) independent row/column index permutations (folded into the
+# layer's rotation matrices as STATIC row-gathers — zero extra matmuls),
+# then (2) at most cb row-bit flip-blends masked by column bits (G, empty
+# when all edges go low→high), then (3) at most rb column-bit flip-blends
+# masked by row bits (B). The flips run in a transposed orientation so the
+# flipped bits are always on the SUBLANE side (lane-axis bit reversals
+# relayout-crawl on TPU — CLAUDE.md round-2 rules); the transpose itself is
+# free because it is absorbed into the surrounding matmuls' einsum forms.
+#
+# Result: an even layer costs the same two (R,R)/(C,C) matmuls as a plain
+# rotation layer plus ~rank(B) bandwidth-only masked reversals, vs one full
+# masked σx contraction per edge in the flat executor.
+# ---------------------------------------------------------------------------
+
+
+def _gf2_compose(edges: Sequence[Tuple[int, int]], n: int) -> np.ndarray:
+    """A = Π (I + e_t e_cᵀ) over GF(2), edges applied in order (new bit_t =
+    bit_t ⊕ bit_c): row t accumulates row c of the running map."""
+    A = np.eye(n, dtype=np.uint8)
+    for c, t in edges:
+        A[t] ^= A[c]
+    return A
+
+
+def _gf2_inv(M: np.ndarray) -> np.ndarray:
+    """Inverse of an invertible GF(2) matrix (Gauss-Jordan)."""
+    n = M.shape[0]
+    A = M.astype(np.uint8).copy()
+    I = np.eye(n, dtype=np.uint8)
+    for col in range(n):
+        piv = next((r for r in range(col, n) if A[r, col]), None)
+        if piv is None:
+            raise ValueError("singular GF(2) matrix")
+        if piv != col:
+            A[[col, piv]] = A[[piv, col]]
+            I[[col, piv]] = I[[piv, col]]
+        for r in range(n):
+            if r != col and A[r, col]:
+                A[r] ^= A[col]
+                I[r] ^= I[col]
+    return I
+
+
+def _gf2_index_map(M: np.ndarray) -> np.ndarray:
+    """int map over all 2^m indices of the GF(2) linear map M (MSB-first bit
+    encoding: bit q of index i is (i >> (m-1-q)) & 1): out[i] = enc(M·bits(i))."""
+    m = M.shape[0]
+    img = np.zeros(m, dtype=np.int64)
+    for q in range(m):
+        img[q] = sum((1 << (m - 1 - t)) for t in range(m) if M[t, q])
+    idx = np.arange(1 << m, dtype=np.int64)
+    out = np.zeros_like(idx)
+    for q in range(m):
+        out ^= (((idx >> (m - 1 - q)) & 1) * img[q])
+    return out
+
+
+def _perm_gather(A: jnp.ndarray, idx: np.ndarray, inv_idx: np.ndarray,
+                 axis: int):
+    """Permute ``axis`` of a complex array by static indices, with a
+    custom VJP that is itself a gather by the inverse permutation (the
+    generic take-VJP is a scatter, which this backend handles poorly; a
+    bijection's transpose is just the inverse gather). Gathers run on the
+    real/imag planes separately (complex64 gathers are unreliable on the
+    axon TPU backend)."""
+    idx = jnp.asarray(np.asarray(idx, dtype=np.int32))
+    inv = jnp.asarray(np.asarray(inv_idx, dtype=np.int32))
+
+    def take_c(x, i):
+        return jax.lax.complex(jnp.take(jnp.real(x), i, axis=axis),
+                               jnp.take(jnp.imag(x), i, axis=axis))
+
+    @jax.custom_vjp
+    def f(x):
+        return take_c(x, idx)
+
+    def fwd(x):
+        return take_c(x, idx), None
+
+    def bwd(_, g):
+        return (take_c(g, inv),)
+
+    f.defvjp(fwd, bwd)
+    return f(A)
+
+
+class _LayerMap:
+    """Factory-time plan of one even layer's composed entangler."""
+
+    def __init__(self, edges, n: int, rb: int):
+        cb = n - rb
+        A = _gf2_compose(edges, n)
+        Arr, Arc = A[:rb, :rb], A[:rb, rb:]
+        Acr, Acc = A[rb:, :rb], A[rb:, rb:]
+        Arr_inv = _gf2_inv(Arr)
+        B = (Acr @ Arr_inv) % 2                      # row bit -> col flips
+        Sc = (Acc + Acr @ Arr_inv @ Arc) % 2         # Schur complement
+        Sc_inv = _gf2_inv(Sc)
+        G = (Arc @ Sc_inv) % 2                       # col bit -> row flips
+        # Static index maps for folding the permutations into the rotation
+        # matrices: (P·Lm)[ρ,:] = Lm[Arr⁻¹ρ,:], (Q·Rm)[γ,:] = Rm[Sc⁻¹γ,:].
+        self.rb, self.cb = rb, cb
+        self.inv_r = _gf2_index_map(Arr_inv)
+        self.fwd_r = _gf2_index_map(Arr)
+        self.inv_c = _gf2_index_map(Sc_inv)
+        self.fwd_c = _gf2_index_map(Sc)
+        # B-flips: per row-bit j (mask), the set of column bits to reverse.
+        self.b_flips = [
+            (j, [t for t in range(cb) if B[t, j]])
+            for j in range(rb) if B[:, j].any()
+        ]
+        # G-flips: per column-bit j (mask), the set of row bits to reverse
+        # (nonempty only when some edge goes high→low across the split).
+        self.g_flips = [
+            (j, [t for t in range(rb) if G[t, j]])
+            for j in range(cb) if G[:, j].any()
+        ]
+
+
+def _masked_sublane_flip(X: jnp.ndarray, mask_1d: jnp.ndarray,
+                         flip_bits: List[int], nbits: int) -> jnp.ndarray:
+    """X: (2^nbits, M). Reverse the given MSB-first bits of the leading axis
+    on rows... masked by ``mask_1d`` over the TRAILING (lane) axis:
+    X ← X + m ∘ (flip(X) − X). All reversals are sublane-side."""
+    lead, lanes = X.shape
+    view = X.reshape((2,) * nbits + (lanes,))
+    sl = tuple(slice(None, None, -1) if b in flip_bits else slice(None)
+               for b in range(nbits)) + (slice(None),)
+    Xf = view[sl].reshape(lead, lanes)
+    return X + mask_1d * (Xf - X)
+
+
+def make_structured_probs_fn_composed(num_wires: int, layers: int,
+                                      edges: Sequence[Tuple[int, int]],
+                                      dtype=jnp.complex64,
+                                      conditioning: bool = False,
+                                      rb: int = None):
+    """GF(2)-composed evaluation of the DAG-structured ansatz — the
+    production TPU path (round 3; supersedes the per-edge flat executor).
+
+    Identical gate semantics to ``make_structured_probs_fn`` (edges applied
+    in sequence on even layers, CZ on odd layers — reference gate ordering
+    per ``quantum_born_machine.py:57-87``); see the module banner above for
+    the factorization. Exactness vs the flat/2D executors is tested in
+    tests/test_structured_ansatz.py.
+    """
+    n = num_wires
+    rb = (n + 1) // 2 if rb is None else rb
+    cb = n - rb
+    if not (0 < rb < n):
+        raise ValueError(f"rb must be in (0, {n})")
+    R, C = 1 << rb, 1 << cb
+    edges = [(int(c), int(t)) for c, t in edges]
+    for c, t in edges:
+        if not (0 <= c < n and 0 <= t < n) or c == t:
+            raise ValueError(f"bad edge ({c}, {t}) for {n} wires")
+    has_edges = bool(edges)
+    lm = _LayerMap(edges, n, rb) if has_edges else None
+    npdt = np.dtype(dtype)
+    real_dtype = jnp.dtype(np.zeros(0, dtype=npdt).real.dtype)
+
+    def row_mask(j):
+        """(R,) 0/1 of row-bit j (MSB-first), iota-derived on device."""
+        b = (jax.lax.iota(jnp.int32, R) >> (rb - 1 - j)) & 1
+        return b.astype(real_dtype)
+
+    def col_mask(j):
+        b = (jax.lax.iota(jnp.int32, C) >> (cb - 1 - j)) & 1
+        return b.astype(real_dtype)
+
+    def cz_signs():
+        """CZ signs of one odd layer, split into separable row/col factors
+        plus the full (R,C) map for cross edges. Built once per forward."""
+        srow = jnp.ones((R,), dtype=real_dtype)
+        scol = jnp.ones((C,), dtype=real_dtype)
+        cross = None
+        for a, b in edges:
+            if a > b:
+                a, b = b, a
+            if b < rb:
+                srow = srow * (1.0 - 2.0 * row_mask(a) * row_mask(b))
+            elif a >= rb:
+                scol = scol * (1.0 - 2.0 * col_mask(a - rb) * col_mask(b - rb))
+            else:
+                m = row_mask(a)[:, None] * col_mask(b - rb)[None, :]
+                cross = m if cross is None else cross + m
+        # cross counts set-bit pairs; sign flips on odd parity
+        full = srow[:, None] * scol[None, :]
+        if cross is not None:
+            full = full * (1.0 - 2.0 * (cross % 2))
+        return full  # (R, C)
+
+    def fold(U, lo, hi):
+        """(L, hi-lo) per-qubit 2x2s -> (L, 2^(hi-lo), 2^(hi-lo)) folds."""
+        M = U[:, lo]
+        for q in range(lo + 1, hi):
+            M = batched_kron(M, U[:, q])
+        return M
+
+    def run(params, embed_angles=None):
+        a = params.reshape(layers, n, 3)
+        U = rot_zyx_batched(a[..., 0], a[..., 1], a[..., 2]).astype(dtype)
+        Lm = fold(U, 0, rb)           # (L, R, R)
+        Rm = fold(U, rb, n)           # (L, C, C)
+        if has_edges:
+            # Fold the layer permutations into the even layers' rotation
+            # matrices: static row-gathers, no extra matmuls. (Even layers
+            # selected by strided slice — complex64 gathers with an index
+            # array are unreliable on this backend; ::2 is a lax.slice.)
+            LmE = _perm_gather(Lm[::2], lm.inv_r, lm.fwd_r, 1)
+            RmE = _perm_gather(Rm[::2], lm.inv_c, lm.fwd_c, 1)
+            sign = cz_signs()
+
+        # State starts in RC orientation (rows = leading qubits).
+        X = jnp.full((R, C), 1.0 / np.sqrt(float(1 << n)), dtype=dtype)
+        if conditioning:
+            if embed_angles is None:
+                raise ValueError("conditioning=True requires embed_angles")
+            E = ry_batched(jnp.asarray(embed_angles).reshape(n)).astype(dtype)
+            Er = E[0]
+            for q in range(1, rb):
+                Er = jnp.kron(Er, E[q])
+            Ec = E[rb]
+            for q in range(rb + 1, n):
+                Ec = jnp.kron(Ec, E[q])
+            X = Er @ X @ Ec.T
+
+        transposed = False  # False: X is (R, C); True: X is (C, R)
+        ei = 0
+        for l in range(layers):
+            entangle = has_edges and l % 2 == 0
+            Ml = LmE[ei] if entangle else Lm[l]
+            Mc = RmE[ei] if entangle else Rm[l]
+            if entangle:
+                ei += 1
+            # Rotation (+ folded permutation) matmuls. Output orientation:
+            # CR when B-flips follow (their reversed bits must sit on the
+            # sublane side), else RC.
+            want_cr = entangle and bool(lm.b_flips)
+            if not transposed:      # X is (R, C)
+                if want_cr:
+                    Z1 = jnp.einsum("cb,ab->ca", Mc, X)      # (C, R')
+                    X = jnp.einsum("ca,ra->cr", Z1, Ml)
+                else:
+                    Z1 = jnp.einsum("ra,ab->rb", Ml, X)
+                    X = jnp.einsum("rb,cb->rc", Z1, Mc)
+            else:                   # X is (C, R)
+                if want_cr:
+                    Z1 = jnp.einsum("cb,ba->ca", Mc, X)
+                    X = jnp.einsum("ca,ra->cr", Z1, Ml)
+                else:
+                    Z1 = jnp.einsum("ra,ba->rb", Ml, X)
+                    X = jnp.einsum("rb,cb->rc", Z1, Mc)
+            transposed = want_cr
+            if entangle:
+                # G-flips (row bits masked by column bits) would act in RC
+                # orientation BEFORE the B-flips; with the standard
+                # parents-first qubit order G is empty, and the constructor
+                # verifies that below.
+                for j, bits in lm.b_flips:
+                    X = _masked_sublane_flip(X, row_mask(j), bits, cb)
+            elif has_edges:
+                X = X * (sign.T if transposed else sign)
+        p = jnp.real(X * jnp.conj(X))
+        if transposed:
+            p = p.T
+        return p.reshape(-1)
+
+    if has_edges and lm.g_flips:
+        # High→low cross edges produce a G block; supporting them needs an
+        # extra flip pass in RC orientation between the matmuls and the
+        # B-flips. No BN-derived edge list hits this (parents-first order ⇒
+        # c < t), so route those to the flat executor instead of carrying an
+        # untestable path here.
+        raise ValueError(
+            "composed executor requires all edges (c, t) with c < t after "
+            "the split (no high→low cross-half edges); use "
+            "make_structured_probs_fn_flat for this edge list")
+
+    if conditioning:
+        return run
+
+    def probs(params: jnp.ndarray) -> jnp.ndarray:
+        return run(params)
+
+    return probs
+
+
 def latent_edges(bn, latent_names: Sequence[str]) -> List[Tuple[int, int]]:
     """(parent_qubit, child_qubit) pairs for every BN edge whose endpoints
     are both latent, with qubit index = position in ``latent_names``."""

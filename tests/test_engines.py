@@ -151,10 +151,15 @@ def test_eval_reuse_matches_two_forward_path():
         patience=0, key=jax.random.PRNGKey(0))
     a = run_ksd_scan(**kw, reuse_loss_forward_for_eval=False)
     b = run_ksd_scan(**kw, reuse_loss_forward_for_eval=True)
+    # ULP-level tolerance: the best 2^n probs vector is no longer carried
+    # through the scan, so XLA may fuse the eval forward differently between
+    # the two paths (semantically identical; bitwise equality is not a JAX
+    # guarantee across fusion choices).
     np.testing.assert_allclose(np.asarray(a["tvd"]), np.asarray(b["tvd"]),
-                               rtol=0, atol=0)
+                               rtol=3e-7, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(a["params"]), np.asarray(b["params"]))
     np.testing.assert_array_equal(np.asarray(a["best_params"]),
                                   np.asarray(b["best_params"]))
-    assert float(a["best_tvd"]) == float(b["best_tvd"])
+    np.testing.assert_allclose(float(a["best_tvd"]), float(b["best_tvd"]),
+                               rtol=3e-7, atol=1e-7)
     assert int(a["best_epoch"]) == int(b["best_epoch"])

@@ -115,3 +115,43 @@ def test_qbm_structured_backend_routing():
     p = qbm.init(jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(qbm.probs(p)),
                                np.asarray(qbm2.probs(p)), atol=5e-6)
+
+
+@pytest.mark.parametrize("n,L", [(5, 3), (9, 2), (10, 4)])
+def test_composed_executor_matches_2d_and_flat(n, L):
+    """GF(2)-composed executor (round-3 production path): probs and grads
+    match the 2D flip-select and flat executors, including within-half
+    high→low edges (non-triangular Acc) and conditioning."""
+    from tensornetworks_tpu.sim.structured import (
+        make_structured_probs_fn_composed, make_structured_probs_fn_flat)
+
+    rng = np.random.default_rng(n * 100 + L)
+    edges = [(0, 1), (1, n - 1), (n - 2, n - 1), (n - 1, n - 2), (2, n - 2),
+             (0, n - 1)]
+    p = jnp.asarray(0.1 * rng.normal(size=3 * L * n), dtype=jnp.float32)
+    comp = make_structured_probs_fn_composed(n, L, edges)
+    p2d = make_structured_probs_fn(n, L, edges)
+    flat = make_structured_probs_fn_flat(n, L, edges)
+    np.testing.assert_allclose(np.asarray(comp(p)), np.asarray(p2d(p)), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(comp(p)), np.asarray(flat(p)), atol=5e-6)
+    v = jnp.asarray(rng.normal(size=2**n), dtype=jnp.float32)
+    g1 = jax.grad(lambda q: comp(q).astype(jnp.float32) @ v)(p)
+    g2 = jax.grad(lambda q: p2d(q).astype(jnp.float32) @ v)(p)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-5)
+    # conditioning (angle-embedding wall) parity
+    comp_c = make_structured_probs_fn_composed(n, L, edges, conditioning=True)
+    p2d_c = make_structured_probs_fn(n, L, edges, conditioning=True)
+    ang = jnp.asarray(rng.normal(size=n), dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(comp_c(p, ang)),
+                               np.asarray(p2d_c(p, ang)), atol=5e-6)
+
+
+def test_composed_executor_rejects_cross_half_high_to_low():
+    """A high→low edge CROSSING the row/column split produces a G block the
+    composed executor does not execute — it must refuse, pointing at the
+    flat executor."""
+    from tensornetworks_tpu.sim.structured import (
+        make_structured_probs_fn_composed)
+
+    with pytest.raises(ValueError, match="flat"):
+        make_structured_probs_fn_composed(6, 2, [(5, 0)])

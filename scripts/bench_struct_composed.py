@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from tensornetworks_tpu.core import get_random_chain_network
 from tensornetworks_tpu.sim.structured import (
     latent_edges, make_structured_probs_fn_flat,
-    make_structured_probs_fn_composed)
+    make_structured_probs_fn_composed, make_structured_probs_fn_blockcomposed)
 from tensornetworks_tpu.engines.common import force_fetch, highest_matmul_precision
 
 
@@ -46,6 +46,7 @@ def main():
         for name, factory in [
             ("flat", make_structured_probs_fn_flat),
             ("composed", make_structured_probs_fn_composed),
+            ("blockcomp", make_structured_probs_fn_blockcomposed),
         ]:
             f = factory(n, L, edges)
             fwd = jax.jit(f)

@@ -37,9 +37,10 @@ def main():
             X = jnp.einsum("ra,ab->rb", Ms[i], X)
         return X * X
 
-    def chain_blocked(X, Ms):
+    def chain_blocked(X, Ms_full):
         # (256,256) ops applied to (2^12, 256, 256) view both sides like the
         # blocked executor: contract middle axis then lane axis
+        Ms = Ms_full[:, :256, :256]
         for i in range(K):
             v = X.reshape(4096, 256)
             v = jnp.einsum("ij,aj->ai", Ms[i], v)      # lane-axis apply
@@ -59,12 +60,16 @@ def main():
             N = batched_kron(N, U[:, q])
         return jnp.abs(M[0, 0, 0]) + jnp.abs(N[0, 0, 0])
 
-    Xc = jnp.asarray(rng.normal(size=(1024, 1024)) + 1j * rng.normal(size=(1024, 1024)),
-                     dtype=jnp.complex64)
-    Mc = jnp.asarray(rng.normal(size=(K, 1024, 1024)) + 1j * rng.normal(size=(K, 1024, 1024)),
-                     dtype=jnp.complex64) * 0.03
-    Xf = jnp.real(Xc)
-    Mf = jnp.real(Mc)
+    # all host math in numpy — eager jnp ops hit the axon backend outside
+    # jit and fail with UNIMPLEMENTED
+    Xc_np = (rng.normal(size=(1024, 1024))
+             + 1j * rng.normal(size=(1024, 1024))).astype(np.complex64)
+    Mc_np = 0.03 * (rng.normal(size=(K, 1024, 1024))
+                    + 1j * rng.normal(size=(K, 1024, 1024)))
+    Xc = jnp.asarray(Xc_np, dtype=jnp.complex64)
+    Mc = jnp.asarray(Mc_np.astype(np.complex64))
+    Xf = jnp.asarray(Xc_np.real.astype(np.float32))
+    Mf = jnp.asarray(Mc_np.real.astype(np.float32))
     p = jnp.asarray(0.1 * rng.normal(size=480), dtype=jnp.float32)
 
     with highest_matmul_precision():
@@ -74,7 +79,7 @@ def main():
         t = timeit(jax.jit(chain_f), Xf, Mf)
         gf = K * 2 * 1024**3 / t / 1e12
         print(f"f32     1024 chain : {t*1e3:7.2f} ms  ({gf:6.1f} TF/s)")
-        t = timeit(jax.jit(chain_blocked), Xc, Mc[:, :256, :256])
+        t = timeit(jax.jit(chain_blocked), Xc, Mc)
         gf = K * 2 * 4 * 2 * 1024 * 1024 * 256 / t / 1e12
         print(f"complex 256-blocked: {t*1e3:7.2f} ms  ({gf:6.1f} TF/s real-equiv)")
         t = timeit(jax.jit(fold20), p)

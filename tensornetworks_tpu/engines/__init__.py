@@ -1,6 +1,8 @@
 from .advi import AdversarialVariationalInference
 from .amortized import AmortizedKSD, train_multi_seed
 from .distill import fit_born_machine
+from .distributed import (DistributedQuantumKSDVariationalInference,
+                          DistributedSteinOperator)
 from .ksd import KSDVariationalInference, QuantumKSDVariationalInference
 from .sampled import SampledKSDVariationalInference
 from .common import cosine_lr_schedule, make_optimizer
@@ -8,6 +10,8 @@ from .common import cosine_lr_schedule, make_optimizer
 __all__ = [
     "AdversarialVariationalInference",
     "AmortizedKSD",
+    "DistributedQuantumKSDVariationalInference",
+    "DistributedSteinOperator",
     "KSDVariationalInference",
     "QuantumKSDVariationalInference",
     "SampledKSDVariationalInference",

@@ -34,12 +34,20 @@ _ROT = {"x": rx, "y": ry, "z": rz}
 
 
 def make_distributed_ansatz_probs(mesh: Mesh, num_wires: int, layers: int,
-                                  ansatz_type: str, dtype=jnp.complex64):
-    """probs(params) with the statevector sharded over the mesh's state axis.
+                                  ansatz_type: str, dtype=jnp.complex64,
+                                  edges=None, conditioning: bool = False):
+    """probs(params[, embed_angles]) with the statevector sharded over the
+    mesh's state axis. Returns a function producing the (2^n,) distribution,
+    itself sharded.
 
-    Returns a function producing the (2^n,) distribution, itself sharded.
+    ``ansatz_type='bn_structured'`` takes ``edges`` (DAG entangling map);
+    ``conditioning=True`` adds an RY(embed_angles[q]) wall after the
+    Hadamard wall (angle-embedding conditioning, matching
+    ``QuantumBornMachine._embed_angles`` semantics) — the returned function
+    then requires the second argument.
     """
-    program = primitive_ansatz_program(num_wires, layers, ansatz_type)
+    program = primitive_ansatz_program(num_wires, layers, ansatz_type,
+                                       edges=edges)
     apply_1q = distributed_apply_1q(mesh, num_wires)
     apply_cnot = distributed_apply_cnot(mesh, num_wires)
     apply_cz = distributed_apply_cz(mesh, num_wires)
@@ -47,13 +55,20 @@ def make_distributed_ansatz_probs(mesh: Mesh, num_wires: int, layers: int,
     size = 1 << num_wires
     h_mat = jnp.asarray(H, dtype=dtype)
 
-    def probs_fn(params: jnp.ndarray) -> jnp.ndarray:
+    def run(params: jnp.ndarray, embed_angles=None) -> jnp.ndarray:
         state = jnp.zeros((size,), dtype=dtype).at[0].set(1.0)
         state = jax.lax.with_sharding_constraint(state, sharding)
+        first_rotation_seen = False
         for op in program:
             if op[0] == "h":
                 state = apply_1q(state, h_mat, op[1])
             elif op[0] == "r":
+                if conditioning and not first_rotation_seen:
+                    # RY(x_q) embedding wall sits between the Hadamard wall
+                    # and the first parameterized layer.
+                    for q in range(num_wires):
+                        state = apply_1q(state, ry(embed_angles[q]).astype(dtype), q)
+                    first_rotation_seen = True
                 _, q, axis, idx = op
                 U = _ROT[axis](params[idx]).astype(dtype)
                 state = apply_1q(state, U, q)
@@ -62,5 +77,13 @@ def make_distributed_ansatz_probs(mesh: Mesh, num_wires: int, layers: int,
             else:
                 state = apply_cz(state, op[1], op[2])
         return jnp.real(state * jnp.conj(state))
+
+    if conditioning:
+        if not any(op[0] == "r" for op in program):
+            raise ValueError("conditioning requires a parameterized ansatz")
+        return run
+
+    def probs_fn(params: jnp.ndarray) -> jnp.ndarray:
+        return run(params)
 
     return probs_fn

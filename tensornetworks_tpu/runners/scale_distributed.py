@@ -1,0 +1,48 @@
+"""Distributed scale runner: the full KSD engine over a device mesh.
+
+CLI: ``tntpu scale --qubits N --mesh D [--ansatz bn_structured] ...``
+On a single-host test environment provision virtual devices first (the
+tests' conftest does this; standalone:
+``XLA_FLAGS=--xla_force_host_platform_device_count=8`` + CPU platform).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..engines.distributed import DistributedQuantumKSDVariationalInference
+from .scale import make_scale_problem
+
+
+def run_distributed_scale_experiment(num_qubits: int = 8, layers: int = 4,
+                                     num_epochs: int = 200, lr: float = 5e-3,
+                                     seed: int = 0,
+                                     ansatz: str = "hardware_efficient",
+                                     num_devices: Optional[int] = None,
+                                     chunk_epochs: Optional[int] = None,
+                                     verbose: bool = True,
+                                     track_tvd: Optional[bool] = None):
+    bn, latent, observed = make_scale_problem(num_qubits, seed)
+    if track_tvd is None:
+        track_tvd = num_qubits <= 20
+    posterior = bn.posterior_vector(latent, observed) if track_tvd else None
+
+    model = DistributedQuantumKSDVariationalInference(
+        bn, latent, list(observed.keys()), qbm_num_latent_vars=num_qubits,
+        qbm_ansatz_layers=layers, qbm_ansatz_type=ansatz,
+        qbm_init_method="small_random", seed=seed, num_devices=num_devices)
+    if verbose:
+        print(f"mesh: {model.mesh.devices.size} devices, "
+              f"per-device state = 2^{num_qubits}/{model.mesh.shape['state']}")
+    history = model.train(observed, num_epochs=num_epochs, lr_born_machine=lr,
+                          verbose=verbose, true_posterior_for_tvd=posterior,
+                          gradient_clip_norm=10.0, chunk_epochs=chunk_epochs)
+    if verbose and track_tvd:
+        tvds = np.asarray(history["tvd"], dtype=float)
+        finite = tvds[np.isfinite(tvds)]
+        if finite.size:
+            print(f"{num_qubits}-qubit distributed ksd: "
+                  f"final TVD {finite[-1]:.6f}, best {finite.min():.6f}")
+    return {"history": history, "model": model, "num_qubits": num_qubits}

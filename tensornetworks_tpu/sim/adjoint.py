@@ -37,13 +37,32 @@ _ROT = {"x": rx, "y": ry, "z": rz}
 _GEN = {"x": X, "y": Y, "z": Z}
 
 
-def primitive_ansatz_program(num_wires: int, layers: int, ansatz_type: str) -> PrimProgram:
+def primitive_ansatz_program(num_wires: int, layers: int, ansatz_type: str,
+                             edges=None) -> PrimProgram:
     """Unfused gate list for the reference ansätze
     (``quantum_born_machine.py:57-128``), rotations kept separate so each has
-    a single generator."""
+    a single generator. ``ansatz_type='bn_structured'`` (beyond-reference)
+    takes ``edges`` and entangles CNOT(parent→child) on even layers / CZ on
+    odd layers, matching ``sim.structured`` gate order exactly."""
     n = num_wires
     prog: PrimProgram = []
     idx = 0
+    if ansatz_type == "bn_structured":
+        if edges is None:
+            raise ValueError("bn_structured requires edges")
+        for q in range(n):
+            prog.append(("h", q))
+        for layer in range(layers):
+            for q in range(n):
+                prog.append(("r", q, "x", idx)); idx += 1
+                prog.append(("r", q, "y", idx)); idx += 1
+                prog.append(("r", q, "z", idx)); idx += 1
+            for c, t in edges:
+                if layer % 2 == 0:
+                    prog.append(("cnot", int(c), int(t)))
+                else:
+                    prog.append(("cz", int(c), int(t)))
+        return prog
     if ansatz_type in ("hardware_efficient", "all_to_all"):
         for q in range(n):
             prog.append(("h", q))

@@ -482,6 +482,195 @@ def make_structured_probs_fn_composed(num_wires: int, layers: int,
     return probs
 
 
+class _BlockLayerPlan:
+    """Factory-time plan: A = L_strict · D over the rotation-block partition.
+
+    D (block-diagonal) folds into the per-block rotation matrices as static
+    row-gathers; L_strict (strictly block-lower, unit diagonal) becomes a
+    sequence of masked multi-bit flips. Flip factors are emitted per control
+    BLOCK in descending order — within one block-factor all controls' targets
+    live in strictly later blocks, so the factor's flips commute and can be
+    grouped row-targets/column-targets to minimize transposes."""
+
+    def __init__(self, edges, n: int, blocks, rb: int):
+        self.n, self.rb, self.cb = n, rb, n - rb
+        A = _gf2_compose(edges, n)
+        blk_of = np.empty(n, dtype=np.int64)
+        for i, (s, bs) in enumerate(blocks):
+            blk_of[s:s + bs] = i
+        # strictly-upper entries must stay inside one block (else D is not
+        # block-diagonalizable this way)
+        for t in range(n):
+            for q in range(t + 1, n):
+                if A[t, q] and blk_of[t] != blk_of[q]:
+                    raise ValueError(
+                        "composed block plan requires cross-block edges to "
+                        "go low→high; use make_structured_probs_fn_flat for "
+                        "this edge list")
+        D = np.eye(n, dtype=np.uint8)
+        Dinv = np.eye(n, dtype=np.uint8)
+        for s, bs in blocks:
+            D[s:s + bs, s:s + bs] = A[s:s + bs, s:s + bs]
+            Dinv[s:s + bs, s:s + bs] = _gf2_inv(A[s:s + bs, s:s + bs])
+        Ls = (A @ Dinv) % 2
+        # per-block gather maps for folding P_ii into the rotation matrices:
+        # (P·M)[ρ, :] = M[A_ii⁻¹ ρ, :]
+        self.gathers = []
+        for s, bs in blocks:
+            Aii = A[s:s + bs, s:s + bs]
+            if (Aii == np.eye(bs, dtype=np.uint8)).all():
+                self.gathers.append(None)
+            else:
+                self.gathers.append((_gf2_index_map(_gf2_inv(Aii)),
+                                     _gf2_index_map(Aii)))
+        # flip program: per control block descending, (q, row_bits, col_bits)
+        self.flip_program = []
+        for j in range(len(blocks) - 1, -1, -1):
+            s, bs = blocks[j]
+            items = []
+            for q in range(s, s + bs):
+                targets = [t for t in range(n)
+                           if Ls[t, q] and t != q]
+                if not targets:
+                    continue
+                assert all(blk_of[t] > j for t in targets)
+                rows = [t for t in targets if t < rb]
+                cols = [t - rb for t in targets if t >= rb]
+                items.append((q, rows, cols))
+            # group: column-target flips first, then row-target flips (they
+            # commute within the factor) so orientation changes batch up
+            self.flip_program += [(q, [], cols) for q, _, cols in items if cols]
+            self.flip_program += [(q, rows, []) for q, rows, _ in items if rows]
+        self.has_flips = bool(self.flip_program)
+
+
+def make_structured_probs_fn_blockcomposed(num_wires: int, layers: int,
+                                           edges: Sequence[Tuple[int, int]],
+                                           block: int = 8, dtype=jnp.complex64,
+                                           conditioning: bool = False,
+                                           rb: int = None):
+    """Blocked + GF(2)-composed structured-ansatz executor (round-3
+    production path): rotations ride the flat executor's per-block matmuls
+    unchanged, and the whole even-layer CNOT sequence collapses to (a) free
+    static row-gathers on the even layers' rotation matrices (the
+    block-diagonal part of the composed map) plus (b) a handful of masked
+    sublane bit-reversal flips on the (R, C) super-block view (the strictly
+    cross-block part), instead of one full-state masked σx contraction per
+    edge. See ``_BlockLayerPlan``; gate semantics identical to
+    ``make_structured_probs_fn`` (tests/test_structured_ansatz.py).
+    """
+    from .blocked import _blocks, _cz_diag_device
+
+    n = num_wires
+    size = 1 << n
+    rb = (n + 1) // 2 if rb is None else rb
+    cb = n - rb
+    R, C = 1 << rb, 1 << cb
+    edges = [(int(c), int(t)) for c, t in edges]
+    for c, t in edges:
+        if not (0 <= c < n and 0 <= t < n) or c == t:
+            raise ValueError(f"bad edge ({c}, {t}) for {n} wires")
+    has_edges = bool(edges)
+    blocks = _blocks(n, block)
+    plan = _BlockLayerPlan(edges, n, blocks, rb) if has_edges else None
+    npdt = np.dtype(dtype)
+    real_dtype = jnp.dtype(np.zeros(0, dtype=npdt).real.dtype)
+
+    def mask_rc(q):
+        """control-bit mask in RC orientation: (R, 1) or (1, C)."""
+        if q < rb:
+            b = (jax.lax.iota(jnp.int32, R) >> (rb - 1 - q)) & 1
+            return b.astype(real_dtype)[:, None]
+        b = (jax.lax.iota(jnp.int32, C) >> (cb - 1 - (q - rb))) & 1
+        return b.astype(real_dtype)[None, :]
+
+    def block_matrices(params):
+        angles = params.reshape(layers, n, 3)
+        U = rot_zyx_batched(angles[..., 0], angles[..., 1],
+                            angles[..., 2]).astype(dtype)
+        out = []
+        for s, bs in blocks:
+            M = U[:, s]
+            for q in range(s + 1, s + bs):
+                M = batched_kron(M, U[:, q])
+            out.append(M)
+        return out
+
+    def run(params, embed_angles=None):
+        state = jnp.full((size,), 1.0 / np.sqrt(float(size)), dtype=dtype)
+        if conditioning:
+            if embed_angles is None:
+                raise ValueError("conditioning=True requires embed_angles")
+            E = ry_batched(jnp.asarray(embed_angles).reshape(n)).astype(dtype)
+            for s, bs in blocks:
+                M = E[s]
+                for q in range(s + 1, s + bs):
+                    M = jnp.kron(M, E[q])
+                state = apply_adjacent_block(state, M, s, bs, n)
+        mats = block_matrices(params)
+        if has_edges:
+            # even layers' rotation matrices with the block-diagonal layer
+            # permutation folded in (static row gathers, no extra matmuls)
+            matsE = []
+            for i in range(len(blocks)):
+                if plan.gathers[i] is None:
+                    matsE.append(mats[i][::2])
+                else:
+                    idx, inv = plan.gathers[i]
+                    matsE.append(_perm_gather(mats[i][::2], idx, inv, 1))
+            cz = _cz_diag_device(n, edges)
+        ei = 0
+        for l in range(layers):
+            entangle = has_edges and l % 2 == 0
+            for i, (s, bs) in enumerate(blocks):
+                M = matsE[i][ei] if entangle else mats[i][l]
+                state = apply_adjacent_block(state, M, s, bs, n)
+            if entangle:
+                ei += 1
+                if plan.has_flips:
+                    # flips run with their reversed bits on the SUBLANE axis:
+                    # column-bit targets in the transposed (C, R) orientation,
+                    # row-bit targets in (R, C).
+                    X = state.reshape(R, C)
+                    transposed = False
+                    for q, rows, cols in plan.flip_program:
+                        m = mask_rc(q)  # (R, 1) or (1, C) in RC orientation
+                        if cols:
+                            if not transposed:
+                                X, transposed = X.T, True
+                            X = _masked_sublane_flip_nd(X, m.T, cols, cb)
+                        else:
+                            if transposed:
+                                X, transposed = X.T, False
+                            X = _masked_sublane_flip_nd(X, m, rows, rb)
+                    if transposed:
+                        X = X.T
+                    state = X.reshape(-1)
+            elif has_edges:
+                state = state * cz
+        return jnp.real(state * jnp.conj(state))
+
+    if conditioning:
+        return run
+
+    def probs(params: jnp.ndarray) -> jnp.ndarray:
+        return run(params)
+
+    return probs
+
+
+def _masked_sublane_flip_nd(X: jnp.ndarray, mask, flip_bits: List[int],
+                            nbits: int) -> jnp.ndarray:
+    """X: (2^nbits, M). Reverse the given MSB-first bits of the LEADING axis,
+    blended under ``mask`` (broadcastable to X): X + m ∘ (flip(X) − X)."""
+    lead, lanes = X.shape
+    view = X.reshape((2,) * nbits + (lanes,))
+    sl = tuple(slice(None, None, -1) if b in flip_bits else slice(None)
+               for b in range(nbits)) + (slice(None),)
+    Xf = view[sl].reshape(lead, lanes)
+    return X + mask * (Xf - X)
+
+
 def latent_edges(bn, latent_names: Sequence[str]) -> List[Tuple[int, int]]:
     """(parent_qubit, child_qubit) pairs for every BN edge whose endpoints
     are both latent, with qubit index = position in ``latent_names``."""

@@ -163,3 +163,54 @@ def test_eval_reuse_matches_two_forward_path():
     np.testing.assert_allclose(float(a["best_tvd"]), float(b["best_tvd"]),
                                rtol=3e-7, atol=1e-7)
     assert int(a["best_epoch"]) == int(b["best_epoch"])
+
+
+def test_eval_convention_noisy_matches_deterministic_without_dropout():
+    """With dropout_rate=0 the train-mode forward IS the deterministic
+    forward, so both evaluation conventions must produce identical histories
+    (mechanical check of the BASELINE.md attribution-study plumbing)."""
+    from tensornetworks_tpu.core import get_sprinkler_network
+    from tensornetworks_tpu.engines import KSDVariationalInference
+
+    bn = get_sprinkler_network()
+    post, _ = bn.get_true_posterior(["C", "S", "R"], {"W": 1})
+
+    def run(conv):
+        m = KSDVariationalInference(
+            bn, ["C", "S", "R"], ["W"],
+            born_machine_config={"use_logits": True, "conditioning_dim": 1,
+                                 "dropout_rate": 0.0}, seed=0)
+        m.train({"W": 1}, num_epochs=40, lr_born_machine=3e-3, verbose=False,
+                true_posterior_for_tvd=post, eval_convention=conv)
+        return m
+
+    a, b = run("deterministic"), run("train_noisy")
+    np.testing.assert_allclose(np.asarray(a.history_["tvd"]),
+                               np.asarray(b.history_["tvd"]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(a.best_tvd_, b.best_tvd_, rtol=1e-6)
+
+
+def test_eval_convention_noisy_differs_with_dropout():
+    """With dropout active, the noisy convention evaluates a different
+    (stochastic) distribution — histories must differ, and the run completes
+    with a finite best (the reference-convention replication path)."""
+    from tensornetworks_tpu.core import get_sprinkler_network
+    from tensornetworks_tpu.engines import KSDVariationalInference
+
+    bn = get_sprinkler_network()
+    post, _ = bn.get_true_posterior(["C", "S", "R"], {"W": 1})
+
+    def run(conv):
+        m = KSDVariationalInference(
+            bn, ["C", "S", "R"], ["W"],
+            born_machine_config={"use_logits": True, "conditioning_dim": 1},
+            seed=0)
+        m.train({"W": 1}, num_epochs=40, lr_born_machine=3e-3, verbose=False,
+                true_posterior_for_tvd=post, eval_convention=conv)
+        return m
+
+    a, b = run("deterministic"), run("train_noisy")
+    assert np.isfinite(b.best_tvd_)
+    assert not np.allclose(np.asarray(a.history_["tvd"]),
+                           np.asarray(b.history_["tvd"]))

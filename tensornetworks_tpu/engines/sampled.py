@@ -65,7 +65,8 @@ class SampledKSDVariationalInference:
                  qbm_backend: str = "auto", qbm_edges=None,
                  born_machine=None,
                  base_kernel_length_scale: float = 1.0,
-                 num_samples: int = 512, seed: int = 0):
+                 num_samples: int = 512, seed: int = 0,
+                 qbm_remat_layers: Optional[bool] = None):
         self.bn = bn
         self.latent_vars_names = list(latent_vars_names)
         self.observed_vars_names = list(observed_vars_names)
@@ -77,12 +78,18 @@ class SampledKSDVariationalInference:
             from ..sim.structured import latent_edges
 
             qbm_edges = latent_edges(bn, self.latent_vars_names)
+        if qbm_remat_layers is None:
+            # Past n ≈ 26 the backward's intra-layer intermediates (each a
+            # 2^n c64 buffer) exceed one chip's HBM; per-layer remat trades
+            # one forward recompute for O(layers) instead of O(layers·ops)
+            # stored states.
+            qbm_remat_layers = self.num_latent_vars >= 26
         self.born_machine = born_machine if born_machine is not None else (
             QuantumBornMachine(
                 num_latent_vars=self.num_latent_vars,
                 ansatz_layers=qbm_ansatz_layers, ansatz_type=qbm_ansatz_type,
                 init_method=qbm_init_method, backend=qbm_backend,
-                edges=qbm_edges))
+                edges=qbm_edges, remat_layers=qbm_remat_layers))
         self.params = self.born_machine.init(jax.random.PRNGKey(seed))
         self.history_: Optional[dict] = None
 

@@ -164,7 +164,8 @@ def _hadamard_block(size: int) -> np.ndarray:
 
 def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
                           block: int = 8, dtype=jnp.complex64,
-                          conditioning: bool = False, constrain=None):
+                          conditioning: bool = False, constrain=None,
+                          remat_layers: bool = False):
     """state(params[, embed_angles]) evaluating the ansatz via blocked
     execution. With ``conditioning=True`` the returned function takes a
     second argument of per-qubit embedding angles and applies an RY(θ_q)
@@ -176,7 +177,13 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
     (2^n,) state at initialization and after every layer — used by the GSPMD
     training path to pin ``jax.lax.with_sharding_constraint`` inside the
     forward so the statevector itself is distributed, not just the output
-    probabilities (``parallel/sharded.py``)."""
+    probabilities (``parallel/sharded.py``).
+
+    ``remat_layers``: wrap each ansatz layer in ``jax.checkpoint`` so reverse-
+    mode AD stores only the L layer-boundary states instead of every
+    intra-layer intermediate (~n/b + 3 buffers per layer). At n=28 a c64
+    state is 2 GB — this is the difference between fitting the backward on
+    one chip and OOM (used by the large-n sampled-KSD engine)."""
     if ansatz_type not in ANSATZ_TYPES:
         raise ValueError(f"Unknown ansatz_type {ansatz_type!r}")
     n = num_wires
@@ -238,9 +245,10 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
                     M = batched_kron(M, U[qq])
                 state = apply_adjacent_block(state, M, s, bs, n)
         mats = block_matrices(params)
-        for layer in range(layers):
+
+        def layer_body(layer, state, layer_mats):
             for i, (s, bs) in enumerate(blocks):
-                state = apply_adjacent_block(state, mats[i][layer], s, bs, n)
+                state = apply_adjacent_block(state, layer_mats[i], s, bs, n)
             for i in range(1, len(blocks)):
                 if chain:
                     # Boundary CNOT acts on the adjacent bit pair (s-1, s):
@@ -265,6 +273,17 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
                 state = state * _cz_diag_device(n, cz_pair_lists[layer])
             if constrain is not None:
                 state = constrain(state)
+            return state
+
+        for layer in range(layers):
+            layer_mats = [mats[i][layer] for i in range(len(blocks))]
+            if remat_layers:
+                from functools import partial
+
+                state = jax.checkpoint(partial(layer_body, layer))(
+                    state, layer_mats)
+            else:
+                state = layer_body(layer, state, layer_mats)
         return state
 
     return state_fn
@@ -272,10 +291,12 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
 
 def make_blocked_probs_fn(num_wires: int, layers: int, ansatz_type: str,
                           block: int = 8, dtype=jnp.complex64,
-                          conditioning: bool = False, constrain=None):
+                          conditioning: bool = False, constrain=None,
+                          remat_layers: bool = False):
     state_fn = make_blocked_state_fn(num_wires, layers, ansatz_type, block, dtype,
                                      conditioning=conditioning,
-                                     constrain=constrain)
+                                     constrain=constrain,
+                                     remat_layers=remat_layers)
 
     if conditioning:
         def probs_fn(params: jnp.ndarray, embed_angles) -> jnp.ndarray:

@@ -46,7 +46,7 @@ def main():
     tab_ref = [None]
     extra = ()
     if variant == "tables":
-        extra = (make_gcorr_tables(S, B, n, 1.0),)
+        extra = (make_gcorr_tables(S, n, 1.0),)
         kr = "2d" if n <= 17 else "rows"
         mv = lambda q_, S_, B_, n_, ls_: stein_matvec_gcorr_tables(
             q_, tab_ref[0], n_, ls_, kron=kr)

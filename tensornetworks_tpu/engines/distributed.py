@@ -7,7 +7,7 @@ this engine wraps the same shard_map circuit + Stein quadratic form in the
 standard ``run_ksd_scan`` program, so distributed runs get identical
 semantics (reference loss ``ksd_vi.py:133-134``, per-epoch TVD tracking,
 best restore, chunked durable resume) to the single-chip engine. Per-device
-memory for the statevector, probabilities, score/bits tables, matvec
+memory for the statevector, probabilities, score table, matvec
 columns and the posterior scales as ``2^n / D`` — this is the
 n-beyond-single-chip path (SURVEY.md §5.7-5.8; the reference has no
 distributed support of any kind).
@@ -43,7 +43,7 @@ from .ksd import _posterior_vec_from, run_ksd_scan
 class DistributedSteinOperator:
     """Duck-typed ``SteinOperator`` whose quadratic form runs fully sharded
     (``parallel.distributed_train.make_distributed_stein_quadform``); the
-    score/bits tables live row-sharded over the mesh's state axis and cross
+    score table lives row-sharded over the mesh's state axis and crosses
     jit boundaries as arguments via ``args()``."""
 
     def __init__(self, mesh: Mesh, score: np.ndarray, num_vars: int,
@@ -53,16 +53,16 @@ class DistributedSteinOperator:
         self.length_scale = length_scale
         self.quadform = make_distributed_stein_quadform(
             mesh, num_vars, length_scale, group)
-        self.S, self.B = place_stein_tables(mesh, score, num_vars, dtype)
+        (self.S,) = place_stein_tables(mesh, score, num_vars, dtype)
 
     def args(self):
-        return (self.S, self.B)
+        return (self.S,)
 
-    def ksd_loss_from(self, q, S, B, eps: float = 1e-12):
-        return jnp.sqrt(jnp.clip(self.quadform(q, S, B), eps, None))
+    def ksd_loss_from(self, q, S, eps: float = 1e-12):
+        return jnp.sqrt(jnp.clip(self.quadform(q, S), eps, None))
 
     def ksd_loss(self, q, eps: float = 1e-12):
-        return self.ksd_loss_from(q, self.S, self.B, eps=eps)
+        return self.ksd_loss_from(q, self.S, eps=eps)
 
 
 class DistributedQuantumKSDVariationalInference:

@@ -267,58 +267,35 @@ def stein_matvec_gcorr(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray,
 
 
 class GcorrTables(NamedTuple):
-    """Precomputed weight tables for ``stein_matvec_gcorr_tables``.
+    """Precomputed tables for ``stein_matvec_gcorr_tables``.
 
-    All are elementwise functions of S and B (θ-independent), built ONCE per
-    operator: XLA does not reliably hoist large invariant expressions out of
-    scan/while bodies, and recomputing these inside a training scan was
-    measured to cost ~4.7 ms of a 7.1 ms matvec at n = 20. Row-bit flip
-    weights are stored in the (bit, R, C) super-block layout and column-bit
-    flip weights pre-transposed to (bit, C, R), so every runtime flip is a
-    sublane-axis swap.
-    """
+    Round 3 slimmed these from eleven arrays (~420 MB at n = 20) to the score
+    table in two layouts plus one row-sum: expanding the G-correction weights
+    shows ``(1-2B_t)·cf_t ≡ a/(1-a²)`` (a scalar), ``S_t(1-2B_t)·cf_t =
+    a/(1-a²)·S_t``, and every same-bit weighted sum collapses because
+    ``1 - G00 - G11 = 0`` — the ``u``, ``h``, ``Σ B_t∘Q_t`` and all
+    ``sum_w*`` terms cancel exactly (see ``stein_matvec_gcorr_tables``).
+    What remains is θ-independent and built ONCE per operator (XLA does not
+    hoist large invariant expressions out of scan bodies)."""
 
-    St: jnp.ndarray        # (n, 2^n) score rows (V build + term_G)
-    Bt: jnp.ndarray        # (n, 2^n) bit rows (y_T1t's Σ B_t∘Q_t)
-    wTs: jnp.ndarray       # (n, 2^n) (1-2B)·cs — same-bit weight on Q_t
-    vP1r: jnp.ndarray      # (rb, R, C) S(1-2B)·cf row-bit flip weights on P0
-    vP2r: jnp.ndarray      # (rb, R, C) (1-2B)·cf row-bit flips (P0 and Q_t)
-    vP1c: jnp.ndarray      # (cb, C, R) transposed col-bit counterparts
-    vP2c: jnp.ndarray      # (cb, C, R)
-    sum_wP1: jnp.ndarray   # (2^n,) Σ_t S_t(1-2B_t)·cs_t  (coefficient of P0)
-    sum_wP2: jnp.ndarray   # (2^n,) Σ_t (1-2B_t)·cs_t
-    u: jnp.ndarray         # (2^n,) Σ_t S_t B_t
+    St: jnp.ndarray        # (n, 2^n) score rows (V build, term_G, row flips)
+    Stc: jnp.ndarray       # (cb, C, R) col-bit score slices, pre-transposed
     Rv: jnp.ndarray        # (2^n,) Σ_t S_t
-    h: jnp.ndarray         # (2^n,) Σ_t B_t
 
 
-def make_gcorr_tables(S: jnp.ndarray, B: jnp.ndarray, num_vars: int,
+def make_gcorr_tables(S: jnp.ndarray, num_vars: int,
                       length_scale: float = 1.0) -> GcorrTables:
-    """Build the n+1-column decomposition's weight tables (see
+    """Build the n+1-column decomposition's tables (see
     ``stein_matvec_gcorr`` for the derivation)."""
     n = num_vars
-    a = decay_factor(n, length_scale)
-    inv = 1.0 / (1.0 - a * a)
-    G00, G01, G10, G11 = -a * a * inv, a * inv, -a * inv, inv
     rb = (n + 1) // 2
     cb = n - rb
     R, C = 1 << rb, 1 << cb
-    St, Bt = S.T, B.T
-    cs = G00 + (G11 - G00) * Bt
-    cf = G01 + (G10 - G01) * Bt
-    one2b = 1.0 - 2.0 * Bt
-    wP1 = St * one2b
-    vP1 = wP1 * cf
-    vP2 = one2b * cf
-    tr = lambda M: M.reshape(-1, R, C)[:, :, :].transpose(0, 2, 1)
+    St = S.T
     return GcorrTables(
-        St=St, Bt=Bt, wTs=one2b * cs,
-        vP1r=vP1[:rb].reshape(rb, R, C),
-        vP2r=vP2[:rb].reshape(rb, R, C),
-        vP1c=tr(vP1[rb:]), vP2c=tr(vP2[rb:]),
-        sum_wP1=(wP1 * cs).sum(axis=0),
-        sum_wP2=(one2b * cs).sum(axis=0),
-        u=(St * Bt).sum(axis=0), Rv=St.sum(axis=0), h=Bt.sum(axis=0),
+        St=St,
+        Stc=St[rb:].reshape(cb, R, C).transpose(0, 2, 1),
+        Rv=St.sum(axis=0),
     )
 
 
@@ -327,12 +304,29 @@ def stein_matvec_gcorr_tables(q: jnp.ndarray, t: GcorrTables, num_vars: int,
                               kron: str = "rows") -> jnp.ndarray:
     """y = K_p @ q from precomputed ``GcorrTables`` — the production large-n
     path (n+1 Kronecker columns + sublane-flip G-corrections, zero in-scan
-    table recomputation)."""
+    table recomputation).
+
+    Correction algebra (from ``stein_matvec_gcorr``, fully expanded): with
+    G = A·diag(0,1)·A⁻¹ per bit, cs_t = G[b,b], cf_t = G[b,1-b],
+
+        cf_t = a/(1-a²)·(1-2B_t)          ⇒ (1-2B_t)·cf_t = a/(1-a²)
+        (1-2B_t)·cs_t = G00·(1-B_t) - G11·B_t,  and 1 - G00 - G11 = 0
+
+    so y_T1 = G00·Rv∘P0 + aĩ·Σ_t S_t∘flip_t(P0), y_T1t = G00·ΣQ_t +
+    aĩ·Σ_t flip_t(Q_t), y_D = G00·n·P0 + aĩ·Σ_t flip_t(P0) with
+    aĩ = a/(1-a²) — no weight tables at all, only S in two layouts. Flips
+    run as sublane-axis swaps on the (R, C) super-block view (column bits
+    through one batched transpose). Exactness vs ``stein_matvec`` /
+    ``stein_matvec_gcorr`` is asserted in tests/test_stein.py up to n = 20.
+    """
     n = num_vars
     if n == 0:
         return jnp.zeros_like(q)
     a = decay_factor(n, length_scale)
     A = np.array([[1.0, a], [a, 1.0]])
+    inv = 1.0 / (1.0 - a * a)
+    aI = a * inv            # a/(1-a²): the constant flip weight
+    G00 = -a * a * inv
     rb = (n + 1) // 2
     cb = n - rb
     R, C = 1 << rb, 1 << cb
@@ -343,37 +337,38 @@ def stein_matvec_gcorr_tables(q: jnp.ndarray, t: GcorrTables, num_vars: int,
     P0, Q = Y[0], Y[1:]
 
     X0 = P0.reshape(R, C)
-    accP1 = jnp.zeros((R, C), dtype=q.dtype)
-    accP2 = jnp.zeros((R, C), dtype=q.dtype)
-    accT = jnp.zeros((R, C), dtype=q.dtype)
+    Str = t.St[:rb].reshape(rb, R, C)
+    accS = jnp.zeros((R, C), dtype=q.dtype)   # Σ_t S_t ∘ flip_t(P0)
+    accU = jnp.zeros((R, C), dtype=q.dtype)   # Σ_t flip_t(P0)
+    accQ = jnp.zeros((R, C), dtype=q.dtype)   # Σ_t flip_t(Q_t)
     for b in range(rb):
         Xf = _row_bit_flip(X0, b)
-        accP1 = accP1 + t.vP1r[b] * Xf
-        accP2 = accP2 + t.vP2r[b] * Xf
-        accT = accT + t.vP2r[b] * _row_bit_flip(Q[b].reshape(R, C), b)
+        accS = accS + Str[b] * Xf
+        accU = accU + Xf
+        accQ = accQ + _row_bit_flip(Q[b].reshape(R, C), b)
     if cb:
         X0t = X0.T
         Qt = Q[rb:].reshape(cb, R, C).transpose(0, 2, 1)
-        accP1t = jnp.zeros((C, R), dtype=q.dtype)
-        accP2t = jnp.zeros((C, R), dtype=q.dtype)
-        accTt = jnp.zeros((C, R), dtype=q.dtype)
+        accSt = jnp.zeros((C, R), dtype=q.dtype)
+        accUt = jnp.zeros((C, R), dtype=q.dtype)
+        accQt = jnp.zeros((C, R), dtype=q.dtype)
         for b in range(cb):
             Xf = _row_bit_flip(X0t, b)
-            accP1t = accP1t + t.vP1c[b] * Xf
-            accP2t = accP2t + t.vP2c[b] * Xf
-            accTt = accTt + t.vP2c[b] * _row_bit_flip(Qt[b], b)
-        accP1 = accP1 + accP1t.T
-        accP2 = accP2 + accP2t.T
-        accT = accT + accTt.T
+            accSt = accSt + t.Stc[b] * Xf
+            accUt = accUt + Xf
+            accQt = accQt + _row_bit_flip(Qt[b], b)
+        accS = accS + accSt.T
+        accU = accU + accUt.T
+        accQ = accQ + accQt.T
 
     c1 = 1.0 - 1.0 / a
     c2 = 1.0 - a
     term_G = (t.St * Q).sum(axis=0)
-    y_T1 = t.u * P0 + t.sum_wP1 * P0 + accP1.reshape(-1)
-    y_T1t = (t.wTs * Q).sum(axis=0) + accT.reshape(-1) + (t.Bt * Q).sum(axis=0)
-    y_Ri = t.Rv * P0
     y_Rj = Q.sum(axis=0)
-    y_D = t.h * P0 + t.sum_wP2 * P0 + accP2.reshape(-1)
+    y_T1 = G00 * t.Rv * P0 + aI * accS.reshape(-1)
+    y_T1t = G00 * y_Rj + aI * accQ.reshape(-1)
+    y_Ri = t.Rv * P0
+    y_D = (G00 * n) * P0 + aI * accU.reshape(-1)
 
     return (
         term_G
@@ -544,7 +539,7 @@ class SteinOperator:
         # scans (measured +4.7 ms/epoch at n = 20). Two-sided-dense Kronecker
         # apply through n = 17; grouped rows beyond (FLOP factor).
         self.gcorr = (None if self.dense or self._pallas_quadform is not None
-                      else make_gcorr_tables(self.S, self.B, num_vars,
+                      else make_gcorr_tables(self.S, num_vars,
                                              self.length_scale))
         self._gcorr_kron = "2d" if num_vars <= 17 else "rows"
 

@@ -3,7 +3,7 @@ circuit AND the state-sharded Stein operator.
 
 This is the n-beyond-single-chip-memory training path (SURVEY.md §5.7-5.8):
 every ``2^n``-length buffer — the statevector, the probability vector q, the
-score table S, the bits table B, and all n+1 Kronecker matvec columns — is
+score table S, and all n+1 Kronecker matvec columns — is
 sharded over the mesh's ``state`` axis, so per-device memory scales as
 ``2^n / D``. Circuit gates on global (device-axis) bits exchange partner
 shards via ``lax.ppermute`` over ICI; the Stein quadratic form mixes the
@@ -28,7 +28,6 @@ import optax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.bits import all_bitstrings
 from ..ops.hamming import decay_factor
 from ..ops.kron import kron_matvec, kron_power_np
 from .distributed_ansatz import make_distributed_ansatz_probs
@@ -38,8 +37,8 @@ from .shard_state import _num_global_bits
 
 def make_distributed_stein_matvec(mesh: Mesh, num_vars: int,
                                   length_scale: float = 1.0, group: int = 7):
-    """Build ``matvec(q, S, B) -> K_p @ q`` with every operand sharded over
-    the ``state`` mesh axis (q: (2^n,); S, B: (2^n, n) row-sharded).
+    """Build ``matvec(q, S) -> K_p @ q`` with every operand sharded over
+    the ``state`` mesh axis (q: (2^n,); S: (2^n, n) row-sharded).
 
     n+1-column decomposition (``ops.stein.stein_matvec_gcorr`` derives it):
     only ``[q, S_t∘q]`` ride the Kronecker apply — a local ``A^{⊗(n-k)}``
@@ -49,7 +48,11 @@ def make_distributed_stein_matvec(mesh: Mesh, num_vars: int,
     after the apply: for a LOCAL bit, an in-shard flip; for a GLOBAL
     (device-axis) bit, the flipped-bit values are the partner shard's mix
     of the SAME gathered buffer (one extra (D,)-row contraction per global
-    bit per needed column — no extra collective).
+    bit per needed column — no extra collective). The round-3 cancellation
+    in ``ops.stein.stein_matvec_gcorr_tables`` applies verbatim here —
+    ``(1-2B_t)·cf_t ≡ a/(1-a²)`` and ``G00 + G11 = 1`` collapse every
+    bits-table term, so the bits table is gone from the distributed path
+    too (one fewer sharded (2^n, n) operand).
     """
     k = _num_global_bits(mesh)
     n = num_vars
@@ -58,7 +61,8 @@ def make_distributed_stein_matvec(mesh: Mesh, num_vars: int,
     a = decay_factor(n, length_scale)
     A = np.array([[1.0, a], [a, 1.0]])
     inv = 1.0 / (1.0 - a * a)
-    G00, G01, G10, G11 = -a * a * inv, a * inv, -a * inv, inv
+    aI = a * inv            # a/(1-a²): the constant flip weight
+    G00 = -a * a * inv
     Mk = kron_power_np(A, k)  # (D, D) global-bit mixing operator
     local_vars = n - k
     rbl = (local_vars + 1) // 2
@@ -76,12 +80,9 @@ def make_distributed_stein_matvec(mesh: Mesh, num_vars: int,
             return _row_bit_flip(X, tl).reshape(-1)
         return _row_bit_flip(X.T, tl - rbl).T.reshape(-1)
 
-    @partial(shard_map, mesh=mesh, in_specs=(spec_v, spec_m, spec_m),
+    @partial(shard_map, mesh=mesh, in_specs=(spec_v, spec_m),
              out_specs=spec_v)
-    def matvec(q, S, B):
-        one2b = 1.0 - 2.0 * B
-        cs = G00 + (G11 - G00) * B
-        cf = G01 + (G10 - G01) * B
+    def matvec(q, S):
         V = jnp.concatenate([q[:, None], S * q[:, None]], axis=1)  # (.., n+1)
         if local_vars > 0:
             V = kron_matvec(V, A, local_vars, group=group)
@@ -92,16 +93,10 @@ def make_distributed_stein_matvec(mesh: Mesh, num_vars: int,
         Y = jnp.tensordot(row, gathered, axes=(0, 0))  # (2^n/D, n+1)
         P0, Q = Y[:, 0], Y[:, 1:]
 
-        wP1 = S * one2b
-        sum_wP1 = (wP1 * cs).sum(axis=1)
-        sum_wP2 = (one2b * cs).sum(axis=1)
-        sum_wT = ((one2b * cs) * Q).sum(axis=1)
-        accP1 = jnp.zeros_like(P0)
-        accP2 = jnp.zeros_like(P0)
-        accT = jnp.zeros_like(P0)
+        accS = jnp.zeros_like(P0)   # Σ_t S_t ∘ flip_t(P0)
+        accU = jnp.zeros_like(P0)   # Σ_t flip_t(P0)
+        accQ = jnp.zeros_like(P0)   # Σ_t flip_t(Q_t)
         for t in range(n):
-            vP1_t = wP1[:, t] * cf[:, t]
-            vP2_t = one2b[:, t] * cf[:, t]
             if t < k:
                 # global bit: partner-shard values of [Kq, K(S_t q)] are a
                 # second Mk-row mix of the already-gathered buffer
@@ -112,21 +107,19 @@ def make_distributed_stein_matvec(mesh: Mesh, num_vars: int,
                 tl = t - k
                 P0p = _flip_local(P0, tl)
                 Qtp = _flip_local(Q[:, t], tl)
-            accP1 = accP1 + vP1_t * P0p
-            accP2 = accP2 + vP2_t * P0p
-            accT = accT + vP2_t * Qtp
+            accS = accS + S[:, t] * P0p
+            accU = accU + P0p
+            accQ = accQ + Qtp
 
-        u = (S * B).sum(axis=1)
         R = S.sum(axis=1)
-        h = B.sum(axis=1)
         c1 = 1.0 - 1.0 / a
         c2 = 1.0 - a
         term_G = (S * Q).sum(axis=1)
-        y_T1 = u * P0 + sum_wP1 * P0 + accP1
-        y_T1t = sum_wT + accT + (B * Q).sum(axis=1)
-        y_Ri = R * P0
         y_Rj = Q.sum(axis=1)
-        y_D = h * P0 + sum_wP2 * P0 + accP2
+        y_T1 = G00 * R * P0 + aI * accS
+        y_T1t = G00 * y_Rj + aI * accQ
+        y_Ri = R * P0
+        y_D = (G00 * n) * P0 + aI * accU
 
         return (
             term_G
@@ -141,23 +134,23 @@ def make_distributed_stein_matvec(mesh: Mesh, num_vars: int,
 
 def make_distributed_stein_quadform(mesh: Mesh, num_vars: int,
                                     length_scale: float = 1.0, group: int = 7):
-    """``quadform(q, S, B) = qᵀ K_p q`` on state-sharded operands, with a
+    """``quadform(q, S) = qᵀ K_p q`` on state-sharded operands, with a
     custom VJP reusing the forward matvec (K_p is symmetric, so
     ∂(qᵀKq)/∂q = 2·K_p q — one distributed matvec total instead of two)."""
     matvec = make_distributed_stein_matvec(mesh, num_vars, length_scale, group)
 
     @jax.custom_vjp
-    def quadform(q, S, B):
-        return jnp.dot(q, matvec(q, S, B))
+    def quadform(q, S):
+        return jnp.dot(q, matvec(q, S))
 
-    def fwd(q, S, B):
-        y = matvec(q, S, B)
-        return jnp.dot(q, y), (y, S, B)
+    def fwd(q, S):
+        y = matvec(q, S)
+        return jnp.dot(q, y), (y, S)
 
     def bwd(res, g):
-        y, S, B = res
-        # S and B are constants of the objective: zero cotangents.
-        return (2.0 * g * y, jnp.zeros_like(S), jnp.zeros_like(B))
+        y, S = res
+        # S is a constant of the objective: zero cotangent.
+        return (2.0 * g * y, jnp.zeros_like(S))
 
     quadform.defvjp(fwd, bwd)
     return quadform
@@ -165,11 +158,15 @@ def make_distributed_stein_quadform(mesh: Mesh, num_vars: int,
 
 def place_stein_tables(mesh: Mesh, score: np.ndarray, num_vars: int,
                        dtype=jnp.float32):
-    """Device-put the score and bits tables row-sharded over the state axis."""
+    """Device-put the score table row-sharded over the state axis.
+
+    Returns a 1-tuple so callers can splat it as ``op.args()``-style jit
+    arguments (the bits table cancelled out of the distributed matvec in
+    round 3)."""
+    del num_vars
     sh = state_sharding(mesh, ndim=2, axis=0)
     S = jax.device_put(jnp.asarray(score, dtype=dtype), sh)
-    B = jax.device_put(jnp.asarray(all_bitstrings(num_vars), dtype=dtype), sh)
-    return S, B
+    return (S,)
 
 
 def make_distributed_ksd_train_step(mesh: Mesh, num_wires: int, layers: int,
@@ -181,10 +178,10 @@ def make_distributed_ksd_train_step(mesh: Mesh, num_wires: int, layers: int,
     """One full distributed KSD train step: sharded circuit forward → sharded
     Stein quadratic form → loss → grads (through every collective) → update.
 
-    Returns ``step(params, opt_state, S, B) -> (params, opt_state, loss)``;
-    pass the tables from :func:`place_stein_tables` (they cross the jit
-    boundary as arguments so they never embed as HLO constants). ``params``
-    are replicated; the statevector, q, and all operator tables stay sharded
+    Returns ``step(params, opt_state, S) -> (params, opt_state, loss)``;
+    pass the table from :func:`place_stein_tables` (it crosses the jit
+    boundary as an argument so it never embeds as an HLO constant). ``params``
+    are replicated; the statevector, q, and the score table stay sharded
     end to end.
     """
     probs_fn = make_distributed_ansatz_probs(mesh, num_wires, layers,
@@ -192,13 +189,13 @@ def make_distributed_ksd_train_step(mesh: Mesh, num_wires: int, layers: int,
     quadform = make_distributed_stein_quadform(mesh, num_wires, length_scale,
                                                group)
 
-    def loss_fn(params, S, B):
+    def loss_fn(params, S):
         q = probs_fn(params).astype(S.dtype)
-        return jnp.sqrt(jnp.clip(quadform(q, S, B), eps, None))
+        return jnp.sqrt(jnp.clip(quadform(q, S), eps, None))
 
     @jax.jit
-    def step(params, opt_state, S, B):
-        loss, grads = jax.value_and_grad(loss_fn)(params, S, B)
+    def step(params, opt_state, S):
+        loss, grads = jax.value_and_grad(loss_fn)(params, S)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

@@ -188,9 +188,8 @@ def test_distributed_engine_20q_memory_sharded():
         qbm_ansatz_layers=L, qbm_ansatz_type="bn_structured",
         seed=0, num_devices=D)
     op = model.build_operator(observed)
-    S, B = op.args()
+    (S,) = op.args()
     assert S.sharding.shard_shape(S.shape) == (2**n // D, n)
-    assert B.sharding.shard_shape(B.shape) == (2**n // D, n)
     q = jax.jit(model._probs)(model.params)
     assert q.sharding.shard_shape(q.shape) == (2**n // D,)
     for shard in q.addressable_shards:

@@ -39,14 +39,14 @@ def test_distributed_stein_matvec_matches_single_device():
     mesh = make_mesh(8, dp=1)
     S_np = _setup(n)
     op = SteinOperator(S_np, n, dtype=jnp.float64, dense=True)
-    S, B = place_stein_tables(mesh, S_np, n, dtype=jnp.float64)
+    (S,) = place_stein_tables(mesh, S_np, n, dtype=jnp.float64)
     mv = make_distributed_stein_matvec(mesh, n, group=3)
 
     rng = np.random.default_rng(0)
     q = rng.dirichlet(np.ones(2**n))
     q_sh = jax.device_put(jnp.asarray(q, dtype=jnp.float64),
                           state_sharding(mesh, 1))
-    got = np.asarray(mv(q_sh, S, B))
+    got = np.asarray(mv(q_sh, S))
     want = np.asarray(op.matvec(jnp.asarray(q, dtype=jnp.float64)))
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
@@ -56,18 +56,18 @@ def test_distributed_quadform_value_and_grad():
     mesh = make_mesh(8, dp=1)
     S_np = _setup(n)
     op = SteinOperator(S_np, n, dtype=jnp.float64, dense=True)
-    S, B = place_stein_tables(mesh, S_np, n, dtype=jnp.float64)
+    (S,) = place_stein_tables(mesh, S_np, n, dtype=jnp.float64)
     quadform = make_distributed_stein_quadform(mesh, n, group=3)
 
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.dirichlet(np.ones(2**n)), dtype=jnp.float64)
     q_sh = jax.device_put(q, state_sharding(mesh, 1))
 
-    got = float(quadform(q_sh, S, B))
+    got = float(quadform(q_sh, S))
     want = float(op.quadform(q))
     assert abs(got - want) < 1e-10 * max(1.0, abs(want))
 
-    g_got = np.asarray(jax.grad(lambda v: quadform(v, S, B))(q_sh))
+    g_got = np.asarray(jax.grad(lambda v: quadform(v, S))(q_sh))
     g_want = np.asarray(jax.grad(op.quadform)(q))
     np.testing.assert_allclose(g_got, g_want, rtol=1e-9, atol=1e-12)
 
@@ -79,7 +79,7 @@ def test_distributed_ksd_gradients_match_single_device():
     mesh = make_mesh(8, dp=1)
     S_np = _setup(n)
     op = SteinOperator(S_np, n, dtype=jnp.float64, dense=True)
-    S, B = place_stein_tables(mesh, S_np, n, dtype=jnp.float64)
+    (S,) = place_stein_tables(mesh, S_np, n, dtype=jnp.float64)
 
     probs_fn = make_distributed_ansatz_probs(mesh, n, L, "hardware_efficient",
                                              dtype=jnp.complex128)
@@ -87,7 +87,7 @@ def test_distributed_ksd_gradients_match_single_device():
 
     def dist_loss(params):
         q = probs_fn(params).astype(jnp.float64)
-        return jnp.sqrt(jnp.clip(quadform(q, S, B), 1e-12, None))
+        return jnp.sqrt(jnp.clip(quadform(q, S), 1e-12, None))
 
     def single_loss(params):
         q = ansatz_probs(params, n, L, "hardware_efficient",
@@ -112,7 +112,7 @@ def test_distributed_state_memory_is_sharded():
     D = 8
     mesh = make_mesh(D, dp=1)
     S_np = _setup(n)
-    S, B = place_stein_tables(mesh, S_np, n, dtype=jnp.float64)
+    (S,) = place_stein_tables(mesh, S_np, n, dtype=jnp.float64)
     probs_fn = make_distributed_ansatz_probs(mesh, n, 1, "hardware_efficient",
                                              dtype=jnp.complex128)
     k = num_ansatz_params(n, 1, "hardware_efficient")
@@ -123,7 +123,6 @@ def test_distributed_state_memory_is_sharded():
     for shard in q.addressable_shards:
         assert shard.data.shape == (2**n // D,)
     assert S.sharding.shard_shape(S.shape) == (2**n // D, n)
-    assert B.sharding.shard_shape(B.shape) == (2**n // D, n)
 
 
 def test_distributed_train_step_optimizes():
@@ -133,7 +132,7 @@ def test_distributed_train_step_optimizes():
     mesh = make_mesh(8, dp=1)
     S_np = _setup(n)
     op = SteinOperator(S_np, n, dtype=jnp.float64, dense=True)
-    S, B = place_stein_tables(mesh, S_np, n, dtype=jnp.float64)
+    (S,) = place_stein_tables(mesh, S_np, n, dtype=jnp.float64)
 
     opt = optax.adam(5e-2)
     step = make_distributed_ksd_train_step(mesh, n, L, "hardware_efficient",
@@ -161,7 +160,7 @@ def test_distributed_train_step_optimizes():
     # float-rounding gradient differences ~1e8x near zero-gradient
     # coordinates, so exact trajectory equality over many steps is not a
     # property even two bit-identical-math implementations would have).
-    p_d, s_d, l_d = step(p_d, s_d, S, B)
+    p_d, s_d, l_d = step(p_d, s_d, S)
     p_s, s_s, l_s = single_step(p_s, s_s)
     assert abs(float(l_d) - float(l_s)) < 1e-10
     np.testing.assert_allclose(np.asarray(p_d), np.asarray(p_s), atol=1e-6)
@@ -169,6 +168,6 @@ def test_distributed_train_step_optimizes():
     # Several more distributed steps strictly reduce the loss.
     losses = [float(l_d)]
     for _ in range(5):
-        p_d, s_d, l_d = step(p_d, s_d, S, B)
+        p_d, s_d, l_d = step(p_d, s_d, S)
         losses.append(float(l_d))
     assert losses[-1] < losses[0]

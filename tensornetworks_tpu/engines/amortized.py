@@ -80,11 +80,17 @@ class AmortizedKSD:
     def train(self, observations: List[Dict[str, int]], num_epochs: int,
               lr: float = 3e-3, gradient_clip_norm: float = 5.0,
               entropy_weight: float = 1e-3, verbose: bool = True,
-              seed: int = 0, mesh=None) -> dict:
+              seed: int = 0, mesh=None,
+              chunk_epochs: Optional[int] = None) -> dict:
         """``mesh``: optional device mesh (``parallel.make_mesh``) — the
         observation batch axis of the score tables, posteriors, conditioning
         inputs and per-observation probability rows is sharded over its
-        ``dp`` axis (data parallelism across observations)."""
+        ``dp`` axis (data parallelism across observations).
+
+        ``chunk_epochs``: split training into bounded device programs of at
+        most this many epochs (bit-identical carry across chunks) — required
+        for long runs on the tunneled TPU backend, which kills device
+        programs running more than ~2 minutes."""
         n = self.num_latent_vars
         S, posts, X = self._stacked_tables(observations)
         B = jnp.asarray(all_bitstrings(n), dtype=self.dtype)
@@ -133,14 +139,34 @@ class AmortizedKSD:
             tvd = 0.5 * jnp.abs(q_eval - posts_).sum(-1)
             return (params, opt_state, key), (loss, tvd.mean(), global_norm(grads))
 
-        run = jax.jit(lambda p, k, S_, B_, posts_: jax.lax.scan(
-            lambda c, x: epoch(c, x, S_, B_, posts_),
-            (p, optimizer.init(p), k), None, length=num_epochs))
         from .common import highest_matmul_precision
 
         with highest_matmul_precision():
-            (self.params, _, _), (losses, tvds, gnorms) = run(
-                self.params, jax.random.PRNGKey(seed), S, B, posts)
+            key0 = jax.random.PRNGKey(seed)
+            if chunk_epochs and chunk_epochs < num_epochs:
+                scan_chunk = jax.jit(
+                    lambda c, ln, S_, B_, posts_: jax.lax.scan(
+                        lambda cc, x: epoch(cc, x, S_, B_, posts_),
+                        c, None, length=ln),
+                    static_argnums=1)
+                carry = (self.params, optimizer.init(self.params), key0)
+                parts = []
+                done = 0
+                while done < num_epochs:
+                    ln = min(chunk_epochs, num_epochs - done)
+                    carry, o = scan_chunk(carry, ln, S, B, posts)
+                    force_fetch(o[0])  # sync: previous program finished
+                    parts.append(o)
+                    done += ln
+                (self.params, _, _) = carry
+                losses, tvds, gnorms = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs), *parts)
+            else:
+                run = jax.jit(lambda p, k, S_, B_, posts_: jax.lax.scan(
+                    lambda c, x: epoch(c, x, S_, B_, posts_),
+                    (p, optimizer.init(p), k), None, length=num_epochs))
+                (self.params, _, _), (losses, tvds, gnorms) = run(
+                    self.params, key0, S, B, posts)
             force_fetch(losses)
         history = history_to_numpy({"loss": losses, "mean_tvd": tvds,
                                     "grad_norm": gnorms})

@@ -20,11 +20,17 @@ enumerated-weights form of the surrogate reproduces ∇(qᵀ K_p q) to fp
 precision, and the sampled Gram equals ``stein_gram_dense`` on the full
 enumeration).
 
-Note the born machine's ``probs``/``log_q`` are still exact over 2^n (a f32
-vector — fine to n ≈ 26 on one chip); what this engine removes is the Stein
-side, which is the first thing to hit the wall. Sampling *measurement shots*
-instead of analytic probabilities drops in transparently (the loss only needs
-samples + their log q).
+The born machine's forward is still the exact statevector (2^n amplitudes —
+the simulator's own scaling axis); what this engine removes is every
+*auxiliary* 2^n structure. The Stein side was removed in round 1 (CPT-factored
+scores, (M, M) sample Gram). Round 3 removes the sampling side: with
+``sampling="two_stage"`` (auto at n ≥ 20) shots are drawn by exact two-stage
+categorical sampling on the (R, C) super-block view of |ψ|²
+(``sim.sampling.sample_indices_2d``) — row from the 2^{n/2}-length marginal
+CDF, column from the M gathered rows — and ``log q`` at the shots comes from
+the same two-level gather, so no 2^n-length CDF, searchsorted, or flat
+scatter-backward ever exists. This is what lets training run at n = 28 on one
+chip (RESULTS.md), where the flat inverse-CDF's cumsum alone is 1 GB.
 """
 
 from __future__ import annotations
@@ -41,7 +47,7 @@ from ..core.factors import make_latent_log_joint_fn
 from ..models.born_quantum import QuantumBornMachine
 from ..ops.stein_sampled import (reinforce_surrogate, score_at_samples,
                                  stein_gram_samples, ksd_ustat)
-from ..sim.sampling import sample_indices
+from ..sim.sampling import gather_2d, sample_indices, sample_indices_2d
 from ..core.bits import jnp_index_to_bits
 from .common import (force_fetch, global_norm, guarded_update,
                      highest_matmul_precision, history_to_numpy,
@@ -66,7 +72,8 @@ class SampledKSDVariationalInference:
                  born_machine=None,
                  base_kernel_length_scale: float = 1.0,
                  num_samples: int = 512, seed: int = 0,
-                 qbm_remat_layers: Optional[bool] = None):
+                 qbm_remat_layers: Optional[bool] = None,
+                 sampling: str = "auto"):
         self.bn = bn
         self.latent_vars_names = list(latent_vars_names)
         self.observed_vars_names = list(observed_vars_names)
@@ -91,6 +98,11 @@ class SampledKSDVariationalInference:
                 init_method=qbm_init_method, backend=qbm_backend,
                 edges=qbm_edges, remat_layers=qbm_remat_layers))
         self.params = self.born_machine.init(jax.random.PRNGKey(seed))
+        if sampling == "auto":
+            sampling = "two_stage" if self.num_latent_vars >= 20 else "flat"
+        if sampling not in ("flat", "two_stage"):
+            raise ValueError(f"sampling must be flat|two_stage|auto, got {sampling!r}")
+        self.sampling = sampling
         self.history_: Optional[dict] = None
 
     def train(self, x_observation_dict: Dict[str, int], num_epochs: int,
@@ -109,14 +121,27 @@ class SampledKSDVariationalInference:
                                    gradient_clip_norm)
         bm = self.born_machine
 
+        two_stage = self.sampling == "two_stage"
+        rb = (n + 1) // 2
+        R, C = 1 << rb, 1 << (n - rb)
+
         def epoch_losses(params, key):
             q = bm.probs(params).astype(jnp.float32)
-            idx = sample_indices(key, jax.lax.stop_gradient(q), M)
+            if two_stage:
+                # Measurement-shot path: (R, C) super-block sampling + the
+                # two-level gather for log q — no 2^n CDF / flat scatter.
+                P2 = q.reshape(R, C)
+                idx, r, c = sample_indices_2d(
+                    key, jax.lax.stop_gradient(P2), M)
+                q_at = gather_2d(P2, r, c)
+                log_q = jnp.log(jnp.clip(q_at, 1e-12, None))
+            else:
+                idx = sample_indices(key, jax.lax.stop_gradient(q), M)
+                log_q = jnp.log(jnp.clip(q[idx], 1e-12, None))
             Z = jnp_index_to_bits(idx, n, dtype=jnp.float32)
             S_x = score_at_samples(log_joint_z, Z.astype(jnp.int32))
             gram = stein_gram_samples(S_x.astype(jnp.float32), Z, n,
                                       self.length_scale)
-            log_q = jnp.log(jnp.clip(q[idx], 1e-12, None))
             est = ksd_ustat(gram)
             surrogate = reinforce_surrogate(gram, log_q)
             # Value reads as the U-stat estimate; gradient flows only

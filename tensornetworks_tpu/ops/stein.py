@@ -270,33 +270,46 @@ class GcorrTables(NamedTuple):
     """Precomputed tables for ``stein_matvec_gcorr_tables``.
 
     Round 3 slimmed these from eleven arrays (~420 MB at n = 20) to the score
-    table in two layouts plus one row-sum: expanding the G-correction weights
-    shows ``(1-2B_t)·cf_t ≡ a/(1-a²)`` (a scalar), ``S_t(1-2B_t)·cf_t =
-    a/(1-a²)·S_t``, and every same-bit weighted sum collapses because
-    ``1 - G00 - G11 = 0`` — the ``u``, ``h``, ``Σ B_t∘Q_t`` and all
-    ``sum_w*`` terms cancel exactly (see ``stein_matvec_gcorr_tables``).
-    What remains is θ-independent and built ONCE per operator (XLA does not
-    hoist large invariant expressions out of scan bodies)."""
+    table in its row layout plus a bit-flipped copy and one row-sum:
+    expanding the G-correction weights shows ``(1-2B_t)·cf_t ≡ a/(1-a²)``
+    (a scalar), ``S_t(1-2B_t)·cf_t = a/(1-a²)·S_t``, and every same-bit
+    weighted sum collapses because ``G00 + G11 = 1`` — the ``u``, ``h``,
+    ``Σ B_t∘Q_t`` and all ``sum_w*`` terms cancel exactly (see
+    ``stein_matvec_gcorr_tables``). ``Sf`` is the pre-flipped score table
+    ``Sf_t = flip_t(S_t)`` that lets all three flip accumulators fold into
+    ONE flip per bit at runtime. Everything is θ-independent and built ONCE
+    per operator (XLA does not hoist large invariant expressions out of
+    scan bodies)."""
 
-    St: jnp.ndarray        # (n, 2^n) score rows (V build, term_G, row flips)
-    Stc: jnp.ndarray       # (cb, C, R) col-bit score slices, pre-transposed
+    St: jnp.ndarray        # (n, 2^n) score rows (V build, term_G)
+    Sfr: jnp.ndarray       # (rb, R, C) flip_t(S_t) for row bits
+    SfcT: jnp.ndarray      # (cb, C, R) flip_t(S_t) for col bits, pre-transposed
     Rv: jnp.ndarray        # (2^n,) Σ_t S_t
 
 
-def make_gcorr_tables(S: jnp.ndarray, num_vars: int,
-                      length_scale: float = 1.0) -> GcorrTables:
-    """Build the n+1-column decomposition's tables (see
-    ``stein_matvec_gcorr`` for the derivation)."""
+def _make_gcorr_tables_impl(S: jnp.ndarray, num_vars: int) -> GcorrTables:
     n = num_vars
     rb = (n + 1) // 2
     cb = n - rb
     R, C = 1 << rb, 1 << cb
     St = S.T
-    return GcorrTables(
-        St=St,
-        Stc=St[rb:].reshape(cb, R, C).transpose(0, 2, 1),
-        Rv=St.sum(axis=0),
-    )
+    Sfr = jnp.stack([_row_bit_flip(St[b].reshape(R, C), b)
+                     for b in range(rb)])
+    SfcT = (jnp.stack([_row_bit_flip(St[rb + j].reshape(R, C).T, j)
+                       for j in range(cb)])
+            if cb else jnp.zeros((0, C, R), dtype=S.dtype))
+    return GcorrTables(St=St, Sfr=Sfr, SfcT=SfcT, Rv=St.sum(axis=0))
+
+
+def make_gcorr_tables(S: jnp.ndarray, num_vars: int,
+                      length_scale: float = 1.0) -> GcorrTables:
+    """Build the n+1-column decomposition's tables (see
+    ``stein_matvec_gcorr`` for the derivation). The tables do not depend on
+    the length scale. Built inside one jit program: operators are
+    constructed in factory scope, where eager per-op dispatch on the
+    tunneled TPU backend is slow and some ops are UNIMPLEMENTED."""
+    del length_scale
+    return jax.jit(_make_gcorr_tables_impl, static_argnums=1)(S, num_vars)
 
 
 def stein_matvec_gcorr_tables(q: jnp.ndarray, t: GcorrTables, num_vars: int,
@@ -309,14 +322,25 @@ def stein_matvec_gcorr_tables(q: jnp.ndarray, t: GcorrTables, num_vars: int,
     Correction algebra (from ``stein_matvec_gcorr``, fully expanded): with
     G = A·diag(0,1)·A⁻¹ per bit, cs_t = G[b,b], cf_t = G[b,1-b],
 
-        cf_t = a/(1-a²)·(1-2B_t)          ⇒ (1-2B_t)·cf_t = a/(1-a²)
-        (1-2B_t)·cs_t = G00·(1-B_t) - G11·B_t,  and 1 - G00 - G11 = 0
+        cf_t = a/(1-a²)·(1-2B_t)          ⇒ (1-2B_t)·cf_t = a/(1-a²) =: aĩ
+        (1-2B_t)·cs_t = G00·(1-B_t) - G11·B_t,  and G00 + G11 = 1
 
-    so y_T1 = G00·Rv∘P0 + aĩ·Σ_t S_t∘flip_t(P0), y_T1t = G00·ΣQ_t +
-    aĩ·Σ_t flip_t(Q_t), y_D = G00·n·P0 + aĩ·Σ_t flip_t(P0) with
-    aĩ = a/(1-a²) — no weight tables at all, only S in two layouts. Flips
-    run as sublane-axis swaps on the (R, C) super-block view (column bits
-    through one batched transpose). Exactness vs ``stein_matvec`` /
+    collapse every bits-table term, leaving
+
+        y_T1 + y_T1t = G00·(Rv∘P0 + ΣQ) + aĩ·Σ_t [S_t∘flip_t(P0) + flip_t(Q_t)]
+        y_D          = G00·n·P0 + aĩ·Σ_t flip_t(P0).
+
+    Since the final recombination consumes y_T1+y_T1t and y_D *linearly*,
+    and ``S_t∘flip_t(P0) = flip_t(Sf_t∘P0)`` with the pre-flipped table
+    ``Sf_t = flip_t(S_t)``, ALL flip work folds into one accumulator with
+    one flip per bit:
+
+        acc = Σ_t flip_t( α·(Sf_t∘P0 + Q_t) + γ·P0 ),
+        α = -(c1-c2)·aĩ,   γ = -2(1/a-a)·aĩ,
+
+    i.e. n sublane-axis swaps on the (R, C) super-block view (column bits
+    through one batched transpose) — down from 3n in round 2 and 2n in the
+    first round-3 form. Exactness vs ``stein_matvec`` /
     ``stein_matvec_gcorr`` is asserted in tests/test_stein.py up to n = 20.
     """
     n = num_vars
@@ -327,6 +351,13 @@ def stein_matvec_gcorr_tables(q: jnp.ndarray, t: GcorrTables, num_vars: int,
     inv = 1.0 / (1.0 - a * a)
     aI = a * inv            # a/(1-a²): the constant flip weight
     G00 = -a * a * inv
+    c1 = 1.0 - 1.0 / a
+    c2 = 1.0 - a
+    alpha = -(c1 - c2) * aI
+    gamma = -2.0 * (1.0 / a - a) * aI
+    # Coefficients of the flip-free terms after substitution (docstring):
+    w1 = -((c1 - c2) * G00 + c2)             # on (Rv∘P0 + ΣQ)
+    w0 = 2.0 * n * (1.0 - a) - 2.0 * (1.0 / a - a) * G00 * n   # on P0
     rb = (n + 1) // 2
     cb = n - rb
     R, C = 1 << rb, 1 << cb
@@ -337,46 +368,22 @@ def stein_matvec_gcorr_tables(q: jnp.ndarray, t: GcorrTables, num_vars: int,
     P0, Q = Y[0], Y[1:]
 
     X0 = P0.reshape(R, C)
-    Str = t.St[:rb].reshape(rb, R, C)
-    accS = jnp.zeros((R, C), dtype=q.dtype)   # Σ_t S_t ∘ flip_t(P0)
-    accU = jnp.zeros((R, C), dtype=q.dtype)   # Σ_t flip_t(P0)
-    accQ = jnp.zeros((R, C), dtype=q.dtype)   # Σ_t flip_t(Q_t)
+    acc = jnp.zeros((R, C), dtype=q.dtype)
     for b in range(rb):
-        Xf = _row_bit_flip(X0, b)
-        accS = accS + Str[b] * Xf
-        accU = accU + Xf
-        accQ = accQ + _row_bit_flip(Q[b].reshape(R, C), b)
+        F = alpha * (t.Sfr[b] * X0 + Q[b].reshape(R, C)) + gamma * X0
+        acc = acc + _row_bit_flip(F, b)
     if cb:
         X0t = X0.T
         Qt = Q[rb:].reshape(cb, R, C).transpose(0, 2, 1)
-        accSt = jnp.zeros((C, R), dtype=q.dtype)
-        accUt = jnp.zeros((C, R), dtype=q.dtype)
-        accQt = jnp.zeros((C, R), dtype=q.dtype)
-        for b in range(cb):
-            Xf = _row_bit_flip(X0t, b)
-            accSt = accSt + t.Stc[b] * Xf
-            accUt = accUt + Xf
-            accQt = accQt + _row_bit_flip(Qt[b], b)
-        accS = accS + accSt.T
-        accU = accU + accUt.T
-        accQ = accQ + accQt.T
+        accT = jnp.zeros((C, R), dtype=q.dtype)
+        for j in range(cb):
+            F = alpha * (t.SfcT[j] * X0t + Qt[j]) + gamma * X0t
+            accT = accT + _row_bit_flip(F, j)
+        acc = acc + accT.T
 
-    c1 = 1.0 - 1.0 / a
-    c2 = 1.0 - a
     term_G = (t.St * Q).sum(axis=0)
-    y_Rj = Q.sum(axis=0)
-    y_T1 = G00 * t.Rv * P0 + aI * accS.reshape(-1)
-    y_T1t = G00 * y_Rj + aI * accQ.reshape(-1)
-    y_Ri = t.Rv * P0
-    y_D = (G00 * n) * P0 + aI * accU.reshape(-1)
-
-    return (
-        term_G
-        - c1 * (y_T1 + y_T1t)
-        - c2 * (y_Ri + y_Rj - y_T1 - y_T1t)
-        + 2.0 * n * (1.0 - a) * P0
-        - 2.0 * (1.0 / a - a) * y_D
-    )
+    sumQ = Q.sum(axis=0)
+    return (term_G + w1 * (t.Rv * P0 + sumQ) + w0 * P0 + acc.reshape(-1))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

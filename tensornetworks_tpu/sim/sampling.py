@@ -41,6 +41,49 @@ def sample_bits(key: jax.Array, probs: jnp.ndarray, num_samples: int, num_vars: 
     return jnp_index_to_bits(idx, num_vars, dtype=dtype)
 
 
+def sample_indices_2d(key: jax.Array, P: jnp.ndarray, num_samples: int,
+                      eps: float = 1e-10):
+    """Exact two-stage categorical sampling of flat indices from an (R, C)
+    probability matrix — measurement-shot sampling for very large n.
+
+    Stage 1 draws the row (high bits) from the R-length row-marginal CDF;
+    stage 2 draws the column (low bits) from the C-length CDFs of only the
+    ``num_samples`` gathered rows. The sampled joint is exactly
+    ``(P+eps)[r,c] / Σ(P+eps)`` — identical to :func:`sample_indices` on
+    ``P.reshape(-1)`` with the same smoothing — but no 2^n-length CDF or
+    searchsorted ever exists: auxiliary memory is O(2^{n/2} + M·2^{n/2})
+    instead of O(2^n), which is what lets the sampled-KSD engine draw shots
+    at n = 28 where the flat cumsum alone is a gigabyte. All gathers are on
+    real f32 planes (complex gathers are unreliable on this backend).
+
+    Returns ``(flat_idx, r, c)`` with ``flat_idx = r*C + c``.
+    """
+    R, C = P.shape
+    Ps = P + eps
+    m = Ps.sum(axis=1)                                   # (R,) row marginals
+    key_r, key_c = jax.random.split(key)
+    cdf_r = jnp.cumsum(m)
+    cdf_r = cdf_r / cdf_r[-1]
+    u_r = jax.random.uniform(key_r, (num_samples,), dtype=cdf_r.dtype)
+    r = jnp.clip(jnp.searchsorted(cdf_r, u_r, side="right"), 0, R - 1)
+    rows = jnp.take(Ps, r, axis=0)                       # (M, C) f32 gather
+    cdf_c = jnp.cumsum(rows, axis=1)
+    cdf_c = cdf_c / cdf_c[:, -1:]
+    u_c = jax.random.uniform(key_c, (num_samples,), dtype=cdf_c.dtype)
+    c = jnp.clip(
+        jax.vmap(lambda cd, u: jnp.searchsorted(cd, u, side="right"))(cdf_c, u_c),
+        0, C - 1)
+    return r * C + c, r, c
+
+
+def gather_2d(P: jnp.ndarray, r: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """P[r_i, c_i] via a row gather + per-row column pick (differentiable;
+    the backward scatters into (M, C) then (R, C) rather than doing one flat
+    2^n scatter)."""
+    rows = jnp.take(P, r, axis=0)
+    return jnp.take_along_axis(rows, c[:, None], axis=1)[:, 0]
+
+
 def parameter_shift_jacobian(probs_fn, params: jnp.ndarray) -> jnp.ndarray:
     """Parameter-shift rule Jacobian dp/dθ for circuits of RX/RY/RZ rotations:
     dp/dθ_i = (p(θ + π/2 e_i) - p(θ - π/2 e_i)) / 2.

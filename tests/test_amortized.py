@@ -49,3 +49,31 @@ def test_amortized_quantum_ksd():
     q0 = np.asarray(m.posterior_for({"W": 0}))
     q1 = np.asarray(m.posterior_for({"W": 1}))
     assert np.abs(q0 - q1).max() > 1e-3  # genuinely conditioned
+
+
+def test_amortized_chunked_matches_single_scan():
+    """chunk_epochs yields the bit-identical trajectory to one scan."""
+    import jax
+
+    from tensornetworks_tpu.core import get_sprinkler_network
+
+    bn = get_sprinkler_network()
+    latent, obs_var = ["C", "S", "R"], "W"
+    observations = [{obs_var: 0}, {obs_var: 1}]
+
+    def run(chunk):
+        m = AmortizedKSD(bn, latent, [obs_var],
+                         born_machine_config={"use_logits": True,
+                                              "dropout_rate": 0.0}, seed=0)
+        h = m.train(observations, num_epochs=40, lr=1e-2, verbose=False,
+                    seed=0, chunk_epochs=chunk)
+        return h, m
+
+    h1, m1 = run(None)
+    h2, m2 = run(13)
+    np.testing.assert_array_equal(h1["loss"], h2["loss"])
+    np.testing.assert_array_equal(h1["mean_tvd"], h2["mean_tvd"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        jax.device_get(m1.params), jax.device_get(m2.params))

@@ -197,3 +197,27 @@ def test_sampled_engine_chunked_matches_single():
     np.testing.assert_allclose(h1["loss_ksd"], h2["loss_ksd"], rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(e1.best_tvd_, e2.best_tvd_, rtol=1e-6, atol=1e-8)
     assert e1.best_epoch_ == e2.best_epoch_
+
+
+def test_sampled_engine_two_stage_converges():
+    """Measurement-shot (two-stage) sampling trains to the same quality as
+    the flat inverse-CDF path on the Sprinkler posterior."""
+    bn = get_sprinkler_network()
+    latent = ["C", "S", "R"]
+    obs = {"W": 1}
+    post = bn.posterior_vector(latent, obs)
+    engine = SampledKSDVariationalInference(
+        bn, latent, ["W"], qbm_ansatz_layers=2, qbm_backend="einsum",
+        num_samples=1024, seed=0, sampling="two_stage")
+    assert engine.sampling == "two_stage"
+    h = engine.train(obs, num_epochs=500, lr_born_machine=0.05,
+                     verbose=False, true_posterior_for_tvd=post)
+    assert engine.best_tvd_ < 0.08, engine.best_tvd_
+    assert np.isfinite(h["loss_ksd"]).all()
+
+
+def test_sampled_engine_auto_sampling_thresholds():
+    bn = get_sprinkler_network()
+    small = SampledKSDVariationalInference(
+        bn, ["C", "S", "R"], ["W"], qbm_ansatz_layers=1, qbm_backend="einsum")
+    assert small.sampling == "flat"

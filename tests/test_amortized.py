@@ -51,6 +51,32 @@ def test_amortized_quantum_ksd():
     assert np.abs(q0 - q1).max() > 1e-3  # genuinely conditioned
 
 
+def test_amortized_structured_conditioned_quantum_ksd():
+    """Amortized STRUCTURED quantum inference — the flagship combination
+    (bn_structured entanglers + angle-embedding conditioning): one
+    conditioned DAG-structured PQC answers every observation of the
+    network (VERDICT r2 item 8)."""
+    from tensornetworks_tpu.core import calculate_tvd
+    from tensornetworks_tpu.models import QuantumBornMachine
+    from tensornetworks_tpu.sim import latent_edges
+
+    bn = get_sprinkler_network()
+    latent = ["C", "S", "R"]
+    edges = latent_edges(bn, latent)
+    assert edges
+    qbm = QuantumBornMachine(3, ansatz_layers=4, conditioning_dim=1,
+                             ansatz_type="bn_structured", edges=edges)
+    assert qbm.backend in ("structured", "structured_flat")
+    m = AmortizedKSD(bn, latent, ["W"], born_machine=qbm)
+    h = m.train([{"W": 0}, {"W": 1}], num_epochs=2000, lr=0.02, verbose=False)
+    assert h["loss"][-1] < h["loss"][0] * 0.01
+    for obs in [{"W": 0}, {"W": 1}]:
+        post, _ = bn.get_true_posterior(latent, obs)
+        q = np.asarray(m.posterior_for(obs))
+        learned = {k: float(q[i]) for i, k in enumerate(sorted(post))}
+        assert calculate_tvd(post, learned) < 0.05, (obs, calculate_tvd(post, learned))
+
+
 def test_amortized_chunked_matches_single_scan():
     """chunk_epochs yields the bit-identical trajectory to one scan."""
     import jax

@@ -81,6 +81,42 @@ def measure_reference_pair_seconds(num_vars: int, n_pairs: int = 300) -> float:
     return (time.perf_counter() - t0) / n_pairs
 
 
+def measure_quality_path():
+    """Quality-matched driver metric: the bn_structured 16q configuration —
+    the ansatz that actually reaches reference-beating posterior quality
+    (RESULTS.md: HE converges to TVD ~0.8 at 16q; bn_structured to ~0.04) —
+    trained END TO END through the production engine body (per-epoch exact
+    TVD eval, best-snapshotting, guarded updates, chunked dispatch).
+
+    Returns steady-state engine epochs/sec (post-compile chunks) and the
+    best TVD actually reached, so "faster at matched final TVD"
+    (BASELINE.json north_star) is demonstrated by this one artifact.
+    """
+    from tensornetworks_tpu.core import get_random_chain_network
+    from tensornetworks_tpu.engines.ksd import QuantumKSDVariationalInference
+
+    n = N_QUBITS
+    bn = get_random_chain_network(n + 1, seed=0)
+    latent = [f"V{i}" for i in range(n)]
+    observed = {f"V{n}": 1}
+    post = bn.posterior_vector(latent, observed)
+    eng = QuantumKSDVariationalInference(
+        bn, latent, list(observed), qbm_num_latent_vars=n,
+        qbm_ansatz_layers=8, qbm_ansatz_type="bn_structured", seed=0)
+    h = eng.train(observed, num_epochs=6000, lr_born_machine=0.05,
+                  verbose=False, true_posterior_for_tvd=post,
+                  chunk_epochs=1500)
+    return {
+        "ansatz": "bn_structured",
+        "num_qubits": n,
+        "epochs": 6000,
+        "epochs_per_sec": round(h.get("epochs_per_sec_steady",
+                                      h["epochs_per_sec"]), 1),
+        "final_tvd": round(eng.best_tvd_, 4),
+        "backend": eng.born_machine.backend,
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -166,12 +202,23 @@ def main():
     ref_epoch_sec = pair_sec * float(4**n)
     ref_eps = 1.0 / ref_epoch_sec
 
+    # Quality-matched configuration (VERDICT r2 item 2): the structured
+    # ansatz trained through the real engine, with its measured final TVD —
+    # the throughput claim earned on the config that achieves the quality.
+    try:
+        quality = measure_quality_path()
+        quality["vs_baseline"] = round(quality["epochs_per_sec"] / ref_eps, 1)
+    except Exception as e:  # never lose the primary metric to a quality-path failure
+        print(f"# quality path failed: {type(e).__name__}: {e}", file=sys.stderr)
+        quality = None
+
     print(json.dumps({
         "metric": f"quantum_ksd_epochs_per_sec_{n}q",
         "value": round(epochs_per_sec, 3),
         "unit": "epochs/sec",
         "vs_baseline": round(epochs_per_sec / ref_eps, 1),
         "path": circuit_path,
+        "quality_path": quality,
     }))
 
 

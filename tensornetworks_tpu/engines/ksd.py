@@ -299,6 +299,7 @@ def run_ksd_scan(
                 if prev_outs is not None:
                     parts.append(prev_outs)
         done_chunks = 0
+        chunk_seconds = []
         for s in range(start, num_epochs, chunk_epochs):
             epochs = jnp.arange(s, min(s + chunk_epochs, num_epochs))
             if stein_args_schedule is not None:
@@ -306,10 +307,12 @@ def run_ksd_scan(
                 # same shapes each chunk, so the chunk program never
                 # recompiles — only the operand values change.
                 sa_t = tuple(stein_args_schedule(s // chunk_epochs))
+            t_chunk = time.perf_counter()
             carry, o = scan_chunk(carry, epochs, sa_t, pv_t)
             # Sync point: the previous program must finish before the next
             # launches (bounded-runtime backends kill long programs).
             stopped_now = bool(np.asarray(carry[7]))
+            chunk_seconds.append((int(len(epochs)), time.perf_counter() - t_chunk))
             parts.append(o)
             done_chunks += 1
             epochs_dispatched += int(len(epochs))
@@ -332,6 +335,7 @@ def run_ksd_scan(
                 else jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts))
         (params, _, _, best_tvd, best_epoch, best_params, _, _) = carry
     else:
+        chunk_seconds = None
         (params, _, _, best_tvd, best_epoch, best_params, _, _), outs = jax.lax.scan(
             make_epoch_step(stein_args, posterior_vec), init, jnp.arange(num_epochs)
         )
@@ -377,7 +381,22 @@ def run_ksd_scan(
         "stopped": stopped_hist,
         "skipped": skipped_hist,
         "epochs_dispatched": epochs_dispatched,
+        # (epochs, wall seconds) per dispatched chunk (chunked mode only);
+        # the first entry of a cold run includes the one-time program
+        # compile, so the post-first-chunk rate is the steady-state rate.
+        "chunk_seconds": chunk_seconds,
     }
+
+
+def steady_epochs_per_sec(chunk_seconds) -> Optional[float]:
+    """Steady-state engine epoch rate from per-chunk (epochs, seconds)
+    timings, excluding the first chunk (which pays the one-time XLA program
+    compile). None when fewer than two chunks were dispatched."""
+    if not chunk_seconds or len(chunk_seconds) < 2:
+        return None
+    eps_total = sum(e for e, _ in chunk_seconds[1:])
+    sec_total = sum(s for _, s in chunk_seconds[1:])
+    return eps_total / sec_total if sec_total > 0 else None
 
 
 class KSDVariationalInference:
@@ -512,6 +531,11 @@ class KSDVariationalInference:
         history["epochs_per_sec"] = ran / elapsed if elapsed > 0 else float("inf")
         history["train_seconds"] = elapsed
         history["num_skipped_updates"] = int(np.asarray(out["skipped"]).sum())
+        steady = steady_epochs_per_sec(out["chunk_seconds"])
+        if steady is not None:
+            # Post-compile engine-body rate (incl. per-epoch TVD eval +
+            # best-snapshot) — the number a long run sustains.
+            history["epochs_per_sec_steady"] = steady
         self.history_ = history
 
         if posterior_vec is not None and np.isfinite(self.best_tvd_) and noisy_eval:
@@ -713,6 +737,11 @@ class QuantumKSDVariationalInference:
                                      if elapsed > 0 else float("inf"))
         history["train_seconds"] = elapsed
         history["num_skipped_updates"] = int(np.asarray(out["skipped"]).sum())
+        steady = steady_epochs_per_sec(out["chunk_seconds"])
+        if steady is not None:
+            # Post-compile engine-body rate (incl. per-epoch TVD eval +
+            # best-snapshot) — the number a long run sustains.
+            history["epochs_per_sec_steady"] = steady
         self.history_ = history
 
         if posterior_vec is not None and np.isfinite(self.best_tvd_):

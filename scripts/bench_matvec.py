@@ -3,7 +3,7 @@
 Mirrors how engines consume it: many matvecs inside one lax.scan under
 HIGHEST matmul precision, fetch-timed.
 
-Usage: python scripts/bench_matvec.py [n] [iters] [variant: old|gcorr2d|gcorrrows]
+Usage: python scripts/bench_matvec.py [n] [iters] [variant: old|gcorr2d|gcorrrows|tables] [group]
 """
 
 import os
@@ -19,6 +19,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     variant = sys.argv[3] if len(sys.argv) > 3 else "old"
+    group = int(sys.argv[4]) if len(sys.argv) > 4 else 7
 
     import jax
     import jax.numpy as jnp
@@ -49,7 +50,7 @@ def main():
         extra = (make_gcorr_tables(S, n, 1.0),)
         kr = "2d" if n <= 17 else "rows"
         mv = lambda q_, S_, B_, n_, ls_: stein_matvec_gcorr_tables(
-            q_, tab_ref[0], n_, ls_, kron=kr)
+            q_, tab_ref[0], n_, ls_, group=group, kron=kr)
 
     def run(q0, S_, B_, *tabs):
         if tabs:

@@ -22,7 +22,9 @@ def main():
         chunk_epochs=chunk, seed=0)
     h = out["history"]
     print(f"RESULT n={n} backend={out['model'].born_machine.backend} "
-          f"eps={h['epochs_per_sec']:.1f} best_tvd={out['model'].best_tvd_:.4f}")
+          f"eps={h['epochs_per_sec']:.1f} "
+          f"steady_eps={h.get('epochs_per_sec_steady', float('nan')):.1f} "
+          f"best_tvd={out['model'].best_tvd_:.4f}")
 
 
 if __name__ == "__main__":

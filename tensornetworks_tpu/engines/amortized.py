@@ -178,7 +178,10 @@ class AmortizedKSD:
     def posterior_for(self, observation: Dict[str, int]) -> jnp.ndarray:
         x = jnp.asarray([observation[k] for k in self.observed_vars_names],
                         dtype=jnp.float32)
-        return self.born_machine.probs(self.params, x)
+        # jit, not eager: per-op dispatch of a circuit forward is ~90 ms/op
+        # through the TPU tunnel and eager complex ops are UNIMPLEMENTED on
+        # the axon backend outright.
+        return jax.jit(self.born_machine.probs)(self.params, x)
 
 
 def train_multi_seed(bayesian_network: BayesianNetwork, latent_vars_names, observed_dict,

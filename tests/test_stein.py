@@ -313,3 +313,31 @@ def test_operator_gcorr_2d_window_real_scores():
     g = np.asarray(jax.grad(lambda x: op.quadform_from(x, *op.args()))(q))
     np.testing.assert_allclose(g, 2.0 * y_ref, rtol=2e-4,
                                atol=4e-4 * np.abs(y_ref).max())
+
+
+def test_gcorr_tables_large_n_window_matches_naive():
+    # Extends the exactness window to the production large-n regime
+    # (VERDICT r2 directive 3): the gcorr-tables matvec (n+1 Kronecker
+    # columns + one-flip-per-bit corrections, both kron layouts) must agree
+    # with the independently-verified naive 3n+1-column decomposition
+    # (`stein_matvec`, cross-checked vs the dense Gram at n<=9 and a
+    # brute-force column evaluation at n=18 above) in float64 at n=18-20.
+    from tensornetworks_tpu.core import get_random_chain_network
+    from tensornetworks_tpu.core.bits import all_bitstrings as ab
+    from tensornetworks_tpu.ops.stein import (make_gcorr_tables,
+                                              stein_matvec_gcorr_tables)
+
+    for n in (18, 20):
+        bn = get_random_chain_network(n + 1, seed=n)
+        t = bn.conditional_joint_table([f"V{i}" for i in range(n)],
+                                       {f"V{n}": 1})
+        S = jnp.asarray(score_table(t), dtype=jnp.float64)
+        B = jnp.asarray(ab(n), dtype=jnp.float64)
+        q = jnp.asarray(np.random.default_rng(n).dirichlet(np.ones(2**n)),
+                        dtype=jnp.float64)
+        y_ref = np.asarray(stein_matvec(q, S, B, n, compute_dtype=jnp.float64))
+        tables = make_gcorr_tables(S, n)
+        for kron in ("2d", "rows"):
+            y = np.asarray(stein_matvec_gcorr_tables(q, tables, n, kron=kron))
+            np.testing.assert_allclose(y, y_ref, rtol=1e-9,
+                                       atol=1e-9 * np.abs(y_ref).max())

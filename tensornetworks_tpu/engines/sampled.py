@@ -73,7 +73,7 @@ class SampledKSDVariationalInference:
                  base_kernel_length_scale: float = 1.0,
                  num_samples: int = 512, seed: int = 0,
                  qbm_remat_layers: Optional[bool] = None,
-                 sampling: str = "auto"):
+                 sampling: str = "auto", qbm_grad_method: str = "auto"):
         self.bn = bn
         self.latent_vars_names = list(latent_vars_names)
         self.observed_vars_names = list(observed_vars_names)
@@ -85,18 +85,23 @@ class SampledKSDVariationalInference:
             from ..sim.structured import latent_edges
 
             qbm_edges = latent_edges(bn, self.latent_vars_names)
+        # Past n ≈ 26 even the per-layer-checkpointed autodiff backward OOMs
+        # one chip (measured at n=28: >20 concurrent 1 GB plane temps in the
+        # transposed program); the adjoint sweep keeps the live set at two
+        # statevectors regardless of depth (sim/blocked_adjoint.py).
+        use_adjoint = (qbm_grad_method == "adjoint" or (
+            qbm_grad_method == "auto" and self.num_latent_vars >= 26
+            and qbm_ansatz_type != "bn_structured"))
         if qbm_remat_layers is None:
-            # Past n ≈ 26 the backward's intra-layer intermediates (each a
-            # 2^n c64 buffer) exceed one chip's HBM; per-layer remat trades
-            # one forward recompute for O(layers) instead of O(layers·ops)
-            # stored states.
-            qbm_remat_layers = self.num_latent_vars >= 26
+            qbm_remat_layers = self.num_latent_vars >= 26 and not use_adjoint
         self.born_machine = born_machine if born_machine is not None else (
             QuantumBornMachine(
                 num_latent_vars=self.num_latent_vars,
                 ansatz_layers=qbm_ansatz_layers, ansatz_type=qbm_ansatz_type,
-                init_method=qbm_init_method, backend=qbm_backend,
-                edges=qbm_edges, remat_layers=qbm_remat_layers))
+                init_method=qbm_init_method,
+                backend="blocked" if use_adjoint and qbm_backend == "auto" else qbm_backend,
+                edges=qbm_edges, remat_layers=qbm_remat_layers,
+                grad_method="adjoint" if use_adjoint else "autodiff"))
         self.params = self.born_machine.init(jax.random.PRNGKey(seed))
         if sampling == "auto":
             sampling = "two_stage" if self.num_latent_vars >= 20 else "flat"

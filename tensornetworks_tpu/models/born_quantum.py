@@ -36,7 +36,7 @@ class QuantumBornMachine:
                  conditioning_dim: int = 0, ansatz_type: str = "hardware_efficient",
                  init_method: str = "small_random", dtype=jnp.complex64,
                  backend: str = "auto", block: int = 8, edges=None,
-                 remat_layers: bool = False):
+                 remat_layers: bool = False, grad_method: str = "autodiff"):
         """``backend``: 'blocked' (TPU-layout-friendly block-matmul executor,
         the default for n >= 6), 'einsum' (per-gate contraction path), or
         'auto'. Both produce identical distributions (tests/test_blocked.py).
@@ -52,6 +52,12 @@ class QuantumBornMachine:
         self.ansatz_type = ansatz_type
         self.init_method = init_method
         self.dtype = dtype
+        self.grad_method = grad_method
+        if grad_method not in ("autodiff", "adjoint"):
+            raise ValueError(f"grad_method must be autodiff|adjoint, got {grad_method!r}")
+        if grad_method == "adjoint" and ansatz_type == "bn_structured":
+            raise ValueError("grad_method='adjoint' covers the blocked reference "
+                             "ansätze only (hardware_efficient/basic/all_to_all)")
         self.edges = list(edges) if edges is not None else None
         self._all_outcome_tuples = None  # lazy: 2^n Python tuples is seconds
         # of host time and GBs at n >= 20; only get_prob_dict needs them.
@@ -107,15 +113,30 @@ class QuantumBornMachine:
             backend = "blocked" if (num_latent_vars >= 6 or conditioning_dim > 0) else "einsum"
         if conditioning_dim > 0 and backend not in ("blocked",):
             raise ValueError("conditioned quantum Born machines require the 'blocked' backend")
+        if grad_method == "adjoint" and backend != "blocked":
+            raise ValueError("grad_method='adjoint' requires the 'blocked' backend "
+                             f"(got {backend!r})")
         self.backend = backend
         if backend in ("blocked", "pallas2d", "pallas2d_grid"):
             from ..sim.blocked import make_blocked_probs_fn, make_blocked_state_fn
 
             cond = conditioning_dim > 0
-            self._blocked_probs = make_blocked_probs_fn(
-                num_latent_vars, ansatz_layers, ansatz_type, block=block, dtype=dtype,
-                conditioning=cond, remat_layers=remat_layers,
-            )
+            if grad_method == "adjoint":
+                if cond:
+                    raise ValueError(
+                        "grad_method='adjoint' does not support conditioning")
+                # O(1)-state-memory backward: the checkpointed autodiff
+                # backward OOMs one chip at n >= 26 (sim/blocked_adjoint.py).
+                from ..sim.blocked_adjoint import make_blocked_adjoint_probs_fn
+
+                self._blocked_probs = make_blocked_adjoint_probs_fn(
+                    num_latent_vars, ansatz_layers, ansatz_type, block=block,
+                    dtype=dtype)
+            else:
+                self._blocked_probs = make_blocked_probs_fn(
+                    num_latent_vars, ansatz_layers, ansatz_type, block=block,
+                    dtype=dtype, conditioning=cond, remat_layers=remat_layers,
+                )
             self._blocked_state = make_blocked_state_fn(
                 num_latent_vars, ansatz_layers, ansatz_type, block=block, dtype=dtype,
                 conditioning=cond, remat_layers=remat_layers,

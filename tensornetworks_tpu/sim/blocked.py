@@ -162,6 +162,42 @@ def _hadamard_block(size: int) -> np.ndarray:
     return M
 
 
+def make_block_matrices_fn(num_wires: int, layers: int, ansatz_type: str,
+                           block: int = 8, dtype=jnp.complex64):
+    """params -> list of per-block ``(layers, 2^b, 2^b)`` rotation operators.
+
+    The shared builder behind both the blocked forward executor and the
+    O(1)-memory adjoint backward (``sim.blocked_adjoint``): per-qubit 2x2
+    rotations batched over layers, Kronecker-folded per block, with block 0's
+    intra-block chain permutation pre-composed (so the adjoint differentiates
+    exactly the operator the forward applies)."""
+    n = num_wires
+    blocks = _blocks(n, block)
+    per_qubit = 3 if ansatz_type in ("hardware_efficient", "all_to_all") else 2
+    has_chain = ansatz_type in ("hardware_efficient", "basic")
+    chain = _chain_gates(n, ansatz_type) if has_chain else []
+    perm0 = _local_perm_matrix(chain, blocks[0][0], blocks[0][1]) if chain else None
+
+    def block_matrices(params):
+        angles = params.reshape(layers, n, per_qubit)
+        if per_qubit == 3:
+            U = rot_zyx_batched(angles[..., 0], angles[..., 1], angles[..., 2])
+        else:
+            U = rot_zy_batched(angles[..., 0], angles[..., 1])
+        U = U.astype(dtype)  # (layers, n, 2, 2)
+        out = []
+        for i, (s, bs) in enumerate(blocks):
+            M = U[:, s]
+            for q in range(s + 1, s + bs):
+                M = batched_kron(M, U[:, q])
+            if i == 0 and perm0 is not None:
+                M = jnp.einsum("ij,ljk->lik", jnp.asarray(perm0, dtype=dtype), M)
+            out.append(M)
+        return out
+
+    return block_matrices
+
+
 def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
                           block: int = 8, dtype=jnp.complex64,
                           conditioning: bool = False, constrain=None,
@@ -205,26 +241,12 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
         else None
     )
 
-    def block_matrices(params):
-        """Per-block rotation matrices for ALL layers at once:
-        list of (layers, 2^b, 2^b) arrays. Built from batched per-qubit
-        2x2 rotations and layer-batched Kronecker folds — O(n) traced ops
-        total instead of O(L·n)."""
-        angles = params.reshape(layers, n, per_qubit)
-        if per_qubit == 3:
-            U = rot_zyx_batched(angles[..., 0], angles[..., 1], angles[..., 2])
-        else:
-            U = rot_zy_batched(angles[..., 0], angles[..., 1])
-        U = U.astype(dtype)  # (layers, n, 2, 2)
-        out = []
-        for i, (s, bs) in enumerate(blocks):
-            M = U[:, s]
-            for q in range(s + 1, s + bs):
-                M = batched_kron(M, U[:, q])
-            if chain and i == 0 and perms[0] is not None:
-                M = jnp.einsum("ij,ljk->lik", jnp.asarray(perms[0], dtype=dtype), M)
-            out.append(M)
-        return out
+    # Per-block rotation matrices for ALL layers at once (list of
+    # (layers, 2^b, 2^b)); shared with the adjoint backward so both paths
+    # differentiate/apply the identical operator (block 0's chain permutation
+    # pre-composed).
+    block_matrices = make_block_matrices_fn(num_wires, layers, ansatz_type,
+                                            block, dtype)
 
     def state_fn(params: jnp.ndarray, embed_angles=None) -> jnp.ndarray:
         state = jnp.zeros((size,), dtype=dtype).at[0].set(1.0)

@@ -221,3 +221,41 @@ def test_sampled_engine_auto_sampling_thresholds():
     small = SampledKSDVariationalInference(
         bn, ["C", "S", "R"], ["W"], qbm_ansatz_layers=1, qbm_backend="einsum")
     assert small.sampling == "flat"
+
+
+def test_sampled_engine_adjoint_grad_matches_autodiff():
+    """qbm_grad_method='adjoint' (the O(1)-memory large-n backward,
+    sim/blocked_adjoint.py) produces the same training trajectory as the
+    checkpointed-autodiff path — same shots, same updates."""
+    from tensornetworks_tpu.core import get_random_chain_network
+
+    n = 8
+    bn = get_random_chain_network(n + 1, seed=3)
+    latent = [f"V{i}" for i in range(n)]
+    obs = {f"V{n}": 1}
+    post = bn.posterior_vector(latent, obs)
+    kw = dict(num_epochs=60, lr_born_machine=0.05, verbose=False,
+              true_posterior_for_tvd=post)
+    e_adj = SampledKSDVariationalInference(
+        bn, latent, [f"V{n}"], qbm_ansatz_layers=2, qbm_backend="blocked",
+        num_samples=256, seed=0, qbm_grad_method="adjoint")
+    assert e_adj.born_machine.grad_method == "adjoint"
+    e_ad = SampledKSDVariationalInference(
+        bn, latent, [f"V{n}"], qbm_ansatz_layers=2, qbm_backend="blocked",
+        num_samples=256, seed=0, qbm_grad_method="autodiff")
+    h_adj = e_adj.train(obs, **kw)
+    h_ad = e_ad.train(obs, **kw)
+    np.testing.assert_allclose(h_adj["loss_ksd"], h_ad["loss_ksd"],
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(e_adj.best_tvd_, e_ad.best_tvd_,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_sampled_engine_auto_grad_method_threshold():
+    from tensornetworks_tpu.core import get_random_chain_network
+
+    bn = get_random_chain_network(9, seed=0)
+    small = SampledKSDVariationalInference(
+        bn, [f"V{i}" for i in range(8)], ["V8"], qbm_ansatz_layers=1,
+        qbm_backend="blocked")
+    assert small.born_machine.grad_method == "autodiff"

@@ -3,7 +3,7 @@ bn_structured circuit trained against ALL observations of a multi-evidence
 network simultaneously (the round-1/2 flagship ideas composed: DAG-matched
 ansatz + angle-embedding conditioning + the amortized KSD engine).
 
-Usage: python scripts/probe_amortized_structured16.py [n] [epochs] [chunk] [layers]
+Usage: python scripts/probe_amortized_structured16.py [n] [epochs] [chunk] [layers] [--reupload] [--lr X]
 """
 import os
 import sys
@@ -20,6 +20,8 @@ def main():
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 1500
     layers = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    reupload = "--reupload" in sys.argv
+    lr = float(sys.argv[sys.argv.index("--lr") + 1]) if "--lr" in sys.argv else 0.05
 
     from tensornetworks_tpu import get_random_chain_network
     from tensornetworks_tpu.engines.amortized import AmortizedKSD
@@ -35,12 +37,12 @@ def main():
     qbm = QuantumBornMachine(
         n, ansatz_layers=layers, ansatz_type="bn_structured",
         conditioning_dim=len(observed_names),
-        edges=latent_edges(bn, latent))
+        edges=latent_edges(bn, latent), cond_reupload=reupload)
     eng = AmortizedKSD(bn, latent, observed_names, born_machine=qbm, seed=0)
     print(f"backend={qbm.backend} observations={len(observations)}")
 
     t0 = time.perf_counter()
-    h = eng.train(observations, num_epochs=epochs, lr=0.05,
+    h = eng.train(observations, num_epochs=epochs, lr=lr,
                   gradient_clip_norm=10.0, entropy_weight=0.0,
                   verbose=False, chunk_epochs=chunk)
     dt = time.perf_counter() - t0
@@ -52,7 +54,7 @@ def main():
         post = t / t.sum()
         q = np.asarray(eng.posterior_for(obs))
         tvds.append(0.5 * np.abs(q - post).sum())
-    print(f"RESULT n={n} L={layers} epochs={epochs} wall={dt:.1f}s "
+    print(f"RESULT n={n} L={layers} reupload={reupload} lr={lr} epochs={epochs} wall={dt:.1f}s "
           f"eps={epochs / dt:.1f} mean_tvd_hist_final={h['mean_tvd'][-1]:.4f}")
     for obs, tv in zip(observations, tvds):
         print(f"  obs={tuple(obs.values())}: final TVD {tv:.4f}")

@@ -36,7 +36,8 @@ class QuantumBornMachine:
                  conditioning_dim: int = 0, ansatz_type: str = "hardware_efficient",
                  init_method: str = "small_random", dtype=jnp.complex64,
                  backend: str = "auto", block: int = 8, edges=None,
-                 remat_layers: bool = False, grad_method: str = "autodiff"):
+                 remat_layers: bool = False, grad_method: str = "autodiff",
+                 cond_reupload: bool = False):
         """``backend``: 'blocked' (TPU-layout-friendly block-matmul executor,
         the default for n >= 6), 'einsum' (per-gate contraction path), or
         'auto'. Both produce identical distributions (tests/test_blocked.py).
@@ -53,6 +54,10 @@ class QuantumBornMachine:
         self.init_method = init_method
         self.dtype = dtype
         self.grad_method = grad_method
+        self.cond_reupload = cond_reupload
+        if cond_reupload and (conditioning_dim <= 0 or ansatz_type != "bn_structured"):
+            raise ValueError("cond_reupload requires a conditioned bn_structured "
+                             "Born machine (the structured executors implement it)")
         if grad_method not in ("autodiff", "adjoint"):
             raise ValueError(f"grad_method must be autodiff|adjoint, got {grad_method!r}")
         if grad_method == "adjoint" and ansatz_type == "bn_structured":
@@ -72,6 +77,9 @@ class QuantumBornMachine:
                 # flips relayout-crawl on the TPU — see structured.py).
                 from ..sim.structured import make_structured_probs_fn
 
+                if cond_reupload:
+                    raise ValueError("cond_reupload is implemented by the "
+                                     "flat/blockcomposed structured executors")
                 self._blocked_probs = make_structured_probs_fn(
                     num_latent_vars, ansatz_layers, self.edges, dtype=dtype,
                     conditioning=conditioning_dim > 0)
@@ -81,7 +89,8 @@ class QuantumBornMachine:
 
                 self._blocked_probs = make_structured_probs_fn_flat(
                     num_latent_vars, ansatz_layers, self.edges, block=block,
-                    dtype=dtype, conditioning=conditioning_dim > 0)
+                    dtype=dtype, conditioning=conditioning_dim > 0,
+                    reupload=cond_reupload)
                 self.backend = "structured_flat"
             else:
                 # Production path (round 3): GF(2)-block-composed executor —
@@ -97,13 +106,15 @@ class QuantumBornMachine:
                     self._blocked_probs = make_structured_probs_fn_blockcomposed(
                         num_latent_vars, ansatz_layers, self.edges,
                         block=block, dtype=dtype,
-                        conditioning=conditioning_dim > 0)
+                        conditioning=conditioning_dim > 0,
+                        reupload=cond_reupload)
                     self.backend = "structured"
                 except ValueError:
                     self._blocked_probs = make_structured_probs_fn_flat(
                         num_latent_vars, ansatz_layers, self.edges,
                         block=block, dtype=dtype,
-                        conditioning=conditioning_dim > 0)
+                        conditioning=conditioning_dim > 0,
+                        reupload=cond_reupload)
                     self.backend = "structured_flat"
             self._blocked_state = None
             return

@@ -43,7 +43,8 @@ _SX = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=np.complex64)
 def make_structured_probs_fn_flat(num_wires: int, layers: int,
                                   edges: Sequence[Tuple[int, int]],
                                   block: int = 8, dtype=jnp.complex64,
-                                  conditioning: bool = False):
+                                  conditioning: bool = False,
+                                  reupload: bool = False):
     """Flat-state (blocked-executor) evaluation of the DAG-structured ansatz
     — the production TPU path.
 
@@ -137,20 +138,43 @@ def make_structured_probs_fn_flat(num_wires: int, layers: int,
             out.append(M)
         return out
 
+    # Data re-uploading cost model: folding E into the per-layer rotation
+    # operators costs L·2^(3b) per block (matrix-matrix) vs L·2^(n+b) for
+    # applying the wall to the state (matrix-vector) — fold only when
+    # n >= 2b, i.e. when the state pass dominates. Identical semantics
+    # either way (tests/test_structured_ansatz.py reupload oracle).
+    bs_max = max(bs for _, bs in blocks)
+    fold_embed = reupload and n >= 2 * bs_max
+
     def run(params, embed_angles=None):
         state = jnp.full((size,), 1.0 / np.sqrt(float(size)), dtype=dtype)
+        mats = block_matrices(params)
+        emb = None
         if conditioning:
             if embed_angles is None:
                 raise ValueError("conditioning=True requires embed_angles")
             E = ry_batched(jnp.asarray(embed_angles).reshape(n)).astype(dtype)
-            for s, bs in blocks:
+            emb = []
+            for i, (s, bs) in enumerate(blocks):
                 M = E[s]
                 for q in range(s + 1, s + bs):
                     M = jnp.kron(M, E[q])
-                state = apply_adjacent_block(state, M, s, bs, n)
-        mats = block_matrices(params)
+                emb.append(M)
+                if fold_embed:
+                    # Re-uploading: the RY(x) wall precedes EVERY layer,
+                    # folded into the per-layer rotation operators — zero
+                    # extra full-state matmuls. Restores conditional
+                    # expressivity a single input wall lacks (the amortized
+                    # 16q plateau, RESULTS.md).
+                    mats[i] = jnp.einsum("lij,jk->lik", mats[i], M)
+            if not reupload:
+                for (s, bs), M in zip(blocks, emb):
+                    state = apply_adjacent_block(state, M, s, bs, n)
         cz = _cz_diag_device(n, edges) if has_edges else None
         for l in range(layers):
+            if reupload and not fold_embed:
+                for (s, bs), M in zip(blocks, emb):
+                    state = apply_adjacent_block(state, M, s, bs, n)
             for i, (s, bs) in enumerate(blocks):
                 state = apply_adjacent_block(state, mats[i][l], s, bs, n)
             if not has_edges:
@@ -548,7 +572,8 @@ def make_structured_probs_fn_blockcomposed(num_wires: int, layers: int,
                                            edges: Sequence[Tuple[int, int]],
                                            block: int = 8, dtype=jnp.complex64,
                                            conditioning: bool = False,
-                                           rb: int = None):
+                                           rb: int = None,
+                                           reupload: bool = False):
     """Blocked + GF(2)-composed structured-ansatz executor (round-3
     production path): rotations ride the flat executor's per-block matmuls
     unchanged, and the whole even-layer CNOT sequence collapses to (a) free
@@ -596,18 +621,33 @@ def make_structured_probs_fn_blockcomposed(num_wires: int, layers: int,
             out.append(M)
         return out
 
+    # Fold the re-uploaded wall into the rotation operators only when the
+    # state pass dominates the matrix-matrix fold (n >= 2b) — see the flat
+    # executor's cost model note. The even-layer permutation gathers compose
+    # AFTER the rotations, so gathering rows of M_l·E still equals
+    # P∘(⊗ M_l·E).
+    bs_max = max(bs for _, bs in blocks)
+    fold_embed = reupload and n >= 2 * bs_max
+
     def run(params, embed_angles=None):
         state = jnp.full((size,), 1.0 / np.sqrt(float(size)), dtype=dtype)
+        mats = block_matrices(params)
+        emb = None
         if conditioning:
             if embed_angles is None:
                 raise ValueError("conditioning=True requires embed_angles")
             E = ry_batched(jnp.asarray(embed_angles).reshape(n)).astype(dtype)
-            for s, bs in blocks:
+            emb = []
+            for i, (s, bs) in enumerate(blocks):
                 M = E[s]
                 for q in range(s + 1, s + bs):
                     M = jnp.kron(M, E[q])
-                state = apply_adjacent_block(state, M, s, bs, n)
-        mats = block_matrices(params)
+                emb.append(M)
+                if fold_embed:
+                    mats[i] = jnp.einsum("lij,jk->lik", mats[i], M)
+            if not reupload:
+                for (s, bs), M in zip(blocks, emb):
+                    state = apply_adjacent_block(state, M, s, bs, n)
         if has_edges:
             # even layers' rotation matrices with the block-diagonal layer
             # permutation folded in (static row gathers, no extra matmuls)
@@ -621,6 +661,9 @@ def make_structured_probs_fn_blockcomposed(num_wires: int, layers: int,
             cz = _cz_diag_device(n, edges)
         ei = 0
         for l in range(layers):
+            if reupload and not fold_embed:
+                for (s, bs), M in zip(blocks, emb):
+                    state = apply_adjacent_block(state, M, s, bs, n)
             entangle = has_edges and l % 2 == 0
             for i, (s, bs) in enumerate(blocks):
                 M = matsE[i][ei] if entangle else mats[i][l]

@@ -103,3 +103,43 @@ def test_amortized_chunked_matches_single_scan():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         jax.device_get(m1.params), jax.device_get(m2.params))
+
+
+def test_amortized_reupload_beats_single_wall():
+    """Data re-uploading (RY(x) wall before every layer, cond_reupload=True)
+    closes the amortization gap a single input wall leaves: measured at n=8,
+    4 observations — mean TVD 0.030 with re-uploading vs 0.279 without
+    (3000 epochs, lr 0.05). This test pins the mechanism at a size the suite
+    can afford: same budget, re-uploading must land at least 2x better."""
+    from itertools import product
+
+    from tensornetworks_tpu.core import get_random_chain_network
+    from tensornetworks_tpu.models import QuantumBornMachine
+    from tensornetworks_tpu.sim import latent_edges
+
+    n = 5
+    bn = get_random_chain_network(n + 2, seed=0)
+    latent = [f"V{i}" for i in range(n)]
+    observed = [f"V{n}", f"V{n+1}"]
+    observations = [dict(zip(observed, bits)) for bits in product((0, 1), repeat=2)]
+    edges = latent_edges(bn, latent)
+
+    def final_mean_tvd(reupload):
+        qbm = QuantumBornMachine(n, ansatz_layers=6, ansatz_type="bn_structured",
+                                 conditioning_dim=2, edges=edges,
+                                 cond_reupload=reupload)
+        m = AmortizedKSD(bn, latent, observed, born_machine=qbm, seed=0)
+        m.train(observations, num_epochs=1200, lr=0.05, entropy_weight=0.0,
+                gradient_clip_norm=10.0, verbose=False)
+        tvds = []
+        for obs in observations:
+            t = bn.conditional_joint_table(latent, obs)
+            post = t.reshape(-1) / t.sum()
+            q = np.asarray(m.posterior_for(obs))
+            tvds.append(0.5 * np.abs(q - post).sum())
+        return float(np.mean(tvds))
+
+    tvd_ru = final_mean_tvd(True)
+    tvd_plain = final_mean_tvd(False)
+    assert tvd_ru < 0.12, tvd_ru
+    assert tvd_ru * 2.0 < tvd_plain, (tvd_ru, tvd_plain)

@@ -212,3 +212,103 @@ def test_composed_executor_rejects_cross_half_high_to_low():
 
     with pytest.raises(ValueError, match="flat"):
         make_structured_probs_fn_composed(6, 2, [(5, 0)])
+
+
+@pytest.mark.parametrize("n,L,block", [(6, 3, 8), (9, 2, 4), (10, 3, 8)])
+def test_reupload_executors_agree_and_oracle(n, L, block):
+    """Data re-uploading (RY(x) wall folded into every layer): the flat and
+    block-composed executors must agree with each other AND with an
+    independent oracle built by interleaving explicit embedding walls with
+    single-layer circuits of the 2D flip-select executor."""
+    from tensornetworks_tpu.sim.structured import (
+        make_structured_probs_fn_blockcomposed, make_structured_probs_fn_flat)
+
+    rng = np.random.default_rng(n * 31 + L)
+    edges = [(i, i + 1) for i in range(0, n - 1, 2)] + [(0, n - 1)]
+    edges = sorted(set(edges))
+    p = jnp.asarray(0.1 * rng.normal(size=3 * L * n), dtype=jnp.float32)
+    ang = jnp.asarray(rng.normal(size=n), dtype=jnp.float32)
+
+    bc = make_structured_probs_fn_blockcomposed(
+        n, L, edges, block=block, conditioning=True, reupload=True)
+    flat = make_structured_probs_fn_flat(
+        n, L, edges, block=block, conditioning=True, reupload=True)
+    out_bc = np.asarray(bc(p, ang))
+    out_flat = np.asarray(flat(p, ang))
+    np.testing.assert_allclose(out_bc, out_flat, atol=5e-6)
+
+    # Independent oracle: statevector simulation with explicit per-layer
+    # embedding walls via the per-gate einsum machinery.
+    from tensornetworks_tpu.sim.gates import ry_batched
+    from tensornetworks_tpu.sim.blocked import _blocks, _cz_diag_device
+    from tensornetworks_tpu.ops.kron import apply_adjacent_block
+    from tensornetworks_tpu.sim.structured import make_structured_probs_fn
+
+    # build state by running L separate 1-layer flip-select circuits is not
+    # possible (CZ/edge parity depends on absolute layer index); instead
+    # verify against the flat executor with reupload=False and explicit
+    # embedding applications between layers, constructed via its own
+    # primitives:
+    E = ry_batched(ang).astype(jnp.complex64)
+    blocks = _blocks(n, block)
+
+    def embed(state):
+        for s, bs in blocks:
+            M = E[s]
+            for q in range(s + 1, s + bs):
+                M = jnp.kron(M, E[q])
+            state = apply_adjacent_block(state, M, s, bs, n)
+        return state
+
+    # oracle: replicate the flat executor's layer loop with embedding before
+    # every layer
+    from tensornetworks_tpu.sim.gates import rot_zyx_batched, batched_kron
+
+    a = p.reshape(L, n, 3)
+    U = rot_zyx_batched(a[..., 0], a[..., 1], a[..., 2]).astype(jnp.complex64)
+    state = jnp.full((2 ** n,), 1.0 / np.sqrt(2.0 ** n), dtype=jnp.complex64)
+    flat_ref = make_structured_probs_fn_flat(n, 1, edges, block=block)
+    # apply layer-by-layer using single-layer flat executors would reset the
+    # H wall; instead use gate-level application mirroring the flat run():
+    cz = _cz_diag_device(n, edges)
+    from tensornetworks_tpu.sim.structured import _SX
+
+    def control_mask(c):
+        b = (jax.lax.iota(jnp.int32, 2 ** n) >> (n - 1 - c)) & 1
+        return b.astype(jnp.float32)
+
+    for l in range(L):
+        state = embed(state)
+        for i, (s, bs) in enumerate(blocks):
+            M = U[l, s]
+            for q in range(s + 1, s + bs):
+                M = jnp.kron(M, U[l, q])
+            state = apply_adjacent_block(state, M, s, bs, n)
+        if l % 2 == 0:
+            for c, t in edges:
+                flipped = apply_adjacent_block(
+                    state, jnp.asarray(_SX, dtype=jnp.complex64), t, 1, n)
+                m = control_mask(c)
+                state = state + m * (flipped - state)
+        else:
+            state = state * cz
+    oracle = np.asarray(jnp.real(state * jnp.conj(state)))
+    np.testing.assert_allclose(out_bc, oracle, atol=5e-6)
+
+    # grads agree between the two production executors
+    v = jnp.asarray(rng.normal(size=2 ** n), dtype=jnp.float32)
+    g1 = jax.grad(lambda q: bc(q, ang).astype(jnp.float32) @ v)(p)
+    g2 = jax.grad(lambda q: flat(q, ang).astype(jnp.float32) @ v)(p)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-5)
+
+
+def test_qbm_cond_reupload_plumbs_and_validates():
+    edges = [(0, 1), (1, 2)]
+    qbm = QuantumBornMachine(3, 2, ansatz_type="bn_structured", edges=edges,
+                             conditioning_dim=1, cond_reupload=True)
+    x = jnp.asarray([1.0])
+    p = qbm.probs(qbm.init(jax.random.PRNGKey(0)), x)
+    assert np.isclose(float(p.sum()), 1.0, atol=1e-5)
+    with pytest.raises(ValueError, match="cond_reupload"):
+        QuantumBornMachine(3, 2, ansatz_type="bn_structured", edges=edges,
+                           cond_reupload=True)

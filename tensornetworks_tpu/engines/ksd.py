@@ -268,10 +268,15 @@ def run_ksd_scan(
 
         return epoch_step
 
+    # Explicit (non-weak) dtypes: a weak-typed int scalar in the carry makes
+    # chunk 1 recompile the whole chunk program — the step returns strong
+    # int32 (jnp.where with the scan's arange), changing the carry aval after
+    # the first dispatch. Measured: a second full ~40 s compile at 20q and a
+    # 2.7x-understated steady-eps report.
     init = (
         params0, opt_state, key,
-        jnp.asarray(jnp.inf, dtype=dtype), jnp.asarray(-1),
-        params0, jnp.asarray(0), jnp.asarray(False),
+        jnp.asarray(jnp.inf, dtype=dtype), jnp.asarray(-1, jnp.int32),
+        params0, jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
     epochs_dispatched = 0
     if chunk_epochs:
@@ -301,7 +306,8 @@ def run_ksd_scan(
         done_chunks = 0
         chunk_seconds = []
         for s in range(start, num_epochs, chunk_epochs):
-            epochs = jnp.arange(s, min(s + chunk_epochs, num_epochs))
+            epochs = jnp.arange(s, min(s + chunk_epochs, num_epochs),
+                                dtype=jnp.int32)
             if stein_args_schedule is not None:
                 # Per-chunk operator tables (e.g. tempered/annealed targets):
                 # same shapes each chunk, so the chunk program never
@@ -337,7 +343,8 @@ def run_ksd_scan(
     else:
         chunk_seconds = None
         (params, _, _, best_tvd, best_epoch, best_params, _, _), outs = jax.lax.scan(
-            make_epoch_step(stein_args, posterior_vec), init, jnp.arange(num_epochs)
+            make_epoch_step(stein_args, posterior_vec), init,
+            jnp.arange(num_epochs, dtype=jnp.int32)
         )
         epochs_dispatched = num_epochs
     ksd_hist, tvd_hist, gnorm_hist, ent_hist, stopped_hist, skipped_hist = outs

@@ -214,3 +214,45 @@ def test_eval_convention_noisy_differs_with_dropout():
     assert np.isfinite(b.best_tvd_)
     assert not np.allclose(np.asarray(a.history_["tvd"]),
                            np.asarray(b.history_["tvd"]))
+
+
+def test_chunk_carry_has_no_weak_types():
+    """A weak-typed scalar in the scan carry makes chunk 1 recompile the
+    whole chunk program (the step returns strong int32, changing the carry
+    aval after the first dispatch) — measured as a second full ~40 s compile
+    at 20q. Pin: every init-carry leaf the quantum/classical KSD scan uses
+    must already be strong-typed, and one epoch_step application must map
+    the carry to IDENTICAL avals."""
+    import jax
+
+    from tensornetworks_tpu.core import get_sprinkler_network
+    from tensornetworks_tpu.engines.ksd import run_ksd_scan
+    from tensornetworks_tpu.models import QuantumBornMachine
+    from tensornetworks_tpu.ops.stein import SteinOperator, score_table
+
+    bn = get_sprinkler_network()
+    latent = ["C", "S", "R"]
+    t = bn.conditional_joint_table(latent, {"W": 1})
+    op = SteinOperator(score_table(t), 3)
+    qbm = QuantumBornMachine(3, ansatz_layers=1, backend="einsum")
+    p0 = qbm.init(jax.random.PRNGKey(0))
+    post = jnp.asarray(t.reshape(-1) / t.sum(), jnp.float32)
+    import optax
+
+    traces = []
+
+    def probs_fn(p, rng):
+        traces.append(1)  # counts retraces of the chunk program
+        return qbm.probs(p).astype(jnp.float32)
+
+    out = run_ksd_scan(
+        probs_fn=probs_fn,
+        eval_probs_fn=lambda p: qbm.probs(p).astype(jnp.float32),
+        params0=p0, op=op, num_epochs=40,
+        optimizer=optax.adam(0.05), entropy_weight=None,
+        posterior_vec=post, early_stopping=False, patience=10,
+        stein_args=op.args(), chunk_epochs=10,
+        reuse_loss_forward_for_eval=True)
+    assert np.isfinite(out["best_tvd"])
+    # one trace for the chunk program — NOT one per chunk
+    assert sum(traces) == 1, f"chunk program retraced {sum(traces)} times"

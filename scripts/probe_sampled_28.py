@@ -7,7 +7,7 @@ engine's two-stage measurement sampling (sim.sampling.sample_indices_2d) and
 CPT-factored scores keep everything else at O(M) / O(2^{n/2}); per-layer
 remat bounds the adjoint's live buffers.
 
-Usage: python scripts/probe_sampled_28.py [n] [epochs] [chunk] [shots]
+Usage: python scripts/probe_sampled_28.py [n] [epochs] [chunk] [shots] [layers]
 """
 import os
 import sys
@@ -23,6 +23,7 @@ def main():
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 60
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 15
     shots = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
+    layers = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
     from tensornetworks_tpu import get_random_chain_network
     from tensornetworks_tpu.engines import SampledKSDVariationalInference
@@ -32,15 +33,17 @@ def main():
     observed = {f"V{n}": 1}
 
     engine = SampledKSDVariationalInference(
-        bn, latent, list(observed), qbm_ansatz_layers=4,
+        bn, latent, list(observed), qbm_ansatz_layers=layers,
         qbm_backend="auto", num_samples=shots, seed=0)
     t0 = time.perf_counter()
     h = engine.train(observed, num_epochs=epochs, lr_born_machine=0.05,
                      verbose=False, chunk_epochs=chunk)
     dt = time.perf_counter() - t0
     loss = np.asarray(h["loss_ksd"])
-    print(f"RESULT n={n} shots={shots} epochs={epochs} "
-          f"eps={h['epochs_per_sec']:.2f} wall={dt:.1f}s "
+    print(f"RESULT n={n} L={layers} shots={shots} epochs={epochs} "
+          f"eps={h['epochs_per_sec']:.2f} "
+          f"steady_eps={h.get('epochs_per_sec_steady', float('nan')):.2f} "
+          f"wall={dt:.1f}s "
           f"ustat: {loss[0]:.2f} -> {loss[-1]:.3f} "
           f"(min {loss.min():.3f}) skipped={h['num_skipped_updates']}")
 

@@ -200,12 +200,15 @@ class SampledKSDVariationalInference:
                 carry = (self.params, optimizer.init(self.params), key0,
                          jnp.asarray(jnp.inf, jnp.float32),
                          jnp.asarray(0, jnp.int32), self.params)
-                parts = []
+                parts, chunk_seconds = [], []
                 for s in range(0, num_epochs, chunk_epochs):
                     epochs = jnp.arange(s, min(s + chunk_epochs, num_epochs),
                                         dtype=jnp.int32)
+                    tc = time.perf_counter()
                     carry, o = scan_chunk(carry, epochs, pv_t)
                     np.asarray(carry[3])  # sync: previous program finished
+                    chunk_seconds.append((int(epochs.shape[0]),
+                                          time.perf_counter() - tc))
                     parts.append(o)
                 hist = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
                 params, _, _, bt, be, bp = carry
@@ -229,6 +232,12 @@ class SampledKSDVariationalInference:
         history = history_to_numpy(
             {"loss_ksd": losses, "tvd": tvds, "grad_norm": gnorms})
         history["epochs_per_sec"] = num_epochs / elapsed if elapsed > 0 else float("inf")
+        if chunk_epochs and chunk_epochs < num_epochs:
+            from .ksd import steady_epochs_per_sec
+
+            steady = steady_epochs_per_sec(chunk_seconds)
+            if steady is not None:
+                history["epochs_per_sec_steady"] = steady
         history["train_seconds"] = elapsed
         history["num_skipped_updates"] = int(np.asarray(skipped).sum())
         self.history_ = history

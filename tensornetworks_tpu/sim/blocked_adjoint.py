@@ -16,8 +16,10 @@ TPU-native formulation (contrast ``sim.adjoint``, which walks per-gate on the
   rotations stay Kronecker-folded into (2^b, 2^b) block operators
   (``make_block_matrices_fn``), so every full-state op in the backward is the
   same MXU block matmul the forward uses.
-- ψ and the cotangent λ ride together as the two channels of one
-  (2^n, 2) array — every pullback is a single two-column block matmul.
+- ψ and the cotangent λ are pulled back as two separate flat (2^n,) vectors.
+  (NOT as channels of one (2^n, 2) array: a trailing extent of 2 pads the
+  lane axis 64× — measured as a 128 GiB allocation for a 2 GB buffer at
+  n=28.)
 - Per-parameter gradients never touch per-qubit generators: for block matrix
   M(θ) with both channels still at the post-M stage,
 
@@ -77,43 +79,51 @@ def make_blocked_adjoint_probs_fn(num_wires: int, layers: int, ansatz_type: str,
     block_matrices = make_block_matrices_fn(num_wires, layers, ansatz_type,
                                             block, dtype)
 
-    def _apply_both(Y, M, s, bs):
-        # Y: (2^n, 2) — ψ and λ as channels; one block matmul covers both.
-        return apply_adjacent_block(Y, M, s, bs, n)
+    def _apply_both(psi, lam, M, s, bs):
+        return (apply_adjacent_block(psi, M, s, bs, n),
+                apply_adjacent_block(lam, M, s, bs, n))
 
-    def _pull_entanglers(Y, layer):
+    def _pull_entanglers(psi, lam, layer):
         """Inverse of the layer's non-parametric tail (CZ wall, ring wrap,
-        boundary CNOTs/perms) applied to both channels."""
+        boundary CNOTs/perms) applied to both vectors."""
         if cz_pair_lists[layer]:
             d = _cz_diag_device(n, cz_pair_lists[layer])
-            Y = Y * d[:, None]          # ±1 diagonal: self-inverse
+            psi, lam = psi * d, lam * d  # ±1 diagonal: self-inverse
         if ring_cross:
             H = jnp.asarray(_H2, dtype=dtype)
             # (H₀·D·H₀)† = H₀·D·H₀ — the wrap is an involution.
-            Y = _apply_both(Y, H, 0, 1)
-            Y = Y * _cz_diag_device(n, [(n - 1, 0)])[:, None]
-            Y = _apply_both(Y, H, 0, 1)
+            psi, lam = _apply_both(psi, lam, H, 0, 1)
+            d = _cz_diag_device(n, [(n - 1, 0)])
+            psi, lam = psi * d, lam * d
+            psi, lam = _apply_both(psi, lam, H, 0, 1)
         if chain:
             for i in range(len(blocks) - 1, 0, -1):
                 if perms[i] is not None:
-                    Y = _apply_both(Y, jnp.asarray(perms[i].T, dtype=dtype),
-                                    blocks[i][0], blocks[i][1])
+                    psi, lam = _apply_both(psi, lam,
+                                           jnp.asarray(perms[i].T, dtype=dtype),
+                                           blocks[i][0], blocks[i][1])
                 c, _t = boundaries[i - 1]
-                Y = _apply_both(Y, jnp.asarray(_CNOT4, dtype=dtype), c, 2)
-        return Y
+                psi, lam = _apply_both(psi, lam,
+                                       jnp.asarray(_CNOT4, dtype=dtype), c, 2)
+        return psi, lam
 
-    def _block_cotangent(Y, s, bs):
+    def _block_cotangent(psi, lam, s, bs):
         """E_{b'b} = Σ_{a,c} conj(λ_{a b' c}) ψ_{a b c} as one MXU matmul."""
         A = 1 << s
         B = 1 << bs
         C = size // (A * B)
-        Yr = Y.reshape(A, B, C, 2)
-        psi, lam = Yr[..., 0], Yr[..., 1]
-        return jnp.einsum("aic,ajc->ij", jnp.conj(lam), psi)
+        return jnp.einsum("aic,ajc->ij",
+                          jnp.conj(lam).reshape(A, B, C),
+                          psi.reshape(A, B, C))
+
+    def _p(psi):
+        # real²+imag² on the planar views — one f32 output, no |ψ| temp
+        # (abs**2 materializes an extra 2^n f32 plane; at n=28 that 1 GB is
+        # the difference between 16.05 GiB and fitting the 16 GiB chip).
+        return jnp.real(psi) ** 2 + jnp.imag(psi) ** 2
 
     def probs_fn(params):
-        psi = state_fn(params)
-        return jnp.abs(psi) ** 2
+        return _p(state_fn(params))
 
     @jax.custom_vjp
     def probs(params):
@@ -121,25 +131,44 @@ def make_blocked_adjoint_probs_fn(num_wires: int, layers: int, ansatz_type: str,
 
     def fwd(params):
         psi = state_fn(params)
-        return jnp.abs(psi) ** 2, (params, psi)
+        return _p(psi), (params, psi)
 
     def bwd(res, w):
         params, psi = res
         # p = ψ∘conj(ψ) ⇒ dL/dθ = 2·Re⟨λ|∂ψ/∂θ⟩ with λ = w∘ψ (w real).
         lam = w.astype(dtype) * psi
-        Y = jnp.stack([psi, lam], axis=1)  # (2^n, 2)
         mats = block_matrices(params)      # list of (layers, 2^b, 2^b)
         Gs = [[] for _ in blocks]          # per-block matrix cotangents
         for layer in range(layers - 1, -1, -1):
-            Y = _pull_entanglers(Y, layer)
+            psi, lam = _pull_entanglers(psi, lam, layer)
             # Rotation blocks act on disjoint qubits (they commute): process
-            # each with both channels still at the post-block stage, then
+            # each with both vectors still at the post-block stage, then
             # pull both back through M†.
             for i, (s, bs) in enumerate(blocks):
+                # Barriers pin the sweep's schedule: without them XLA holds
+                # >16 concurrent 1 GB relayout-copy temps across the unrolled
+                # per-block einsums and exceeds the 16 GiB chip at n=28.
+                # Pull BOTH vectors back first (each stage frees its input),
+                # then form the cotangent from the pulled pair:
+                #   2·Re⟨λ|∂M|ψ_b⟩ = 2·Re Σ ∂M_{xb}·(conj(M)·E')_{xb},
+                #   E'_{b'b} = Σ conj(λ_b)_{ab'c}·(ψ_b)_{abc}
+                # — mathematically identical to contracting pre-pullback
+                # (tests pin it), but the peak live set drops to ψ+λ+one
+                # temp instead of ψ+λ+both reshape copies+both outputs.
                 M = mats[i][layer]
-                E = _block_cotangent(Y, s, bs)
-                Gs[i].append(jax.lax.stop_gradient(E @ jnp.conj(M)))
-                Y = _apply_both(Y, jnp.conj(M).T, s, bs)
+                Mh = jnp.conj(M).T
+                psi = apply_adjacent_block(psi, Mh, s, bs, n)
+                psi, lam = jax.lax.optimization_barrier((psi, lam))
+                lam = apply_adjacent_block(lam, Mh, s, bs, n)
+                E = _block_cotangent(psi, lam, s, bs)
+                G = jnp.conj(M) @ E
+                # G rides THROUGH the barrier: it ties each block's
+                # cotangent contraction into the sweep's dependency chain,
+                # so the scheduler cannot defer all 4L contractions to the
+                # end of the sweep (which would pin every stage's ψ/λ
+                # alive simultaneously — measured 49 GB at n=28).
+                psi, lam, G = jax.lax.optimization_barrier((psi, lam, G))
+                Gs[i].append(jax.lax.stop_gradient(G))
         # Gs[i] collected layers-last-first; stack back to (layers, B, B).
         Gst = [jnp.stack(g[::-1]) for g in Gs]
 

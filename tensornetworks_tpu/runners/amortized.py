@@ -21,7 +21,8 @@ def run_amortized_experiment(num_qubits: int = 4, num_epochs: int = 1500,
                              quantum: bool = False,
                              ansatz: str = "hardware_efficient",
                              entropy_weight: float = 1e-3, seed: int = 0,
-                             verbose: bool = True, mesh=None):
+                             verbose: bool = True, mesh=None,
+                             reupload: bool = False):
     bn, latent, observed = make_scale_problem(num_qubits, seed)
     obs_var = list(observed.keys())[0]
     observations = [{obs_var: 0}, {obs_var: 1}]
@@ -34,7 +35,7 @@ def run_amortized_experiment(num_qubits: int = 4, num_epochs: int = 1500,
                  else None)
         qbm = QuantumBornMachine(num_qubits, ansatz_layers=layers,
                                  conditioning_dim=1, ansatz_type=ansatz,
-                                 edges=edges)
+                                 edges=edges, cond_reupload=reupload)
         model = AmortizedKSD(bn, latent, [obs_var], born_machine=qbm,
                              seed=seed)
     else:

@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--temper-betas", type=str, default=None,
                    help="comma-separated per-chunk inverse temperatures, "
                         "e.g. 0.25,0.5,0.75,1.0 (with --chunk-epochs)")
+    s.add_argument("--grad-method", type=str, default="auto",
+                   choices=["auto", "autodiff", "adjoint"],
+                   help="circuit backward for --objective sampled-ksd: the "
+                        "O(1)-memory adjoint auto-enables at n >= 26")
     s.add_argument("--num-samples", type=int, default=1024,
                    help="shots per epoch for --objective sampled-ksd")
     s.add_argument("--checkpoint", type=str, default=None,
@@ -91,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     am.add_argument("--ansatz", type=str, default="hardware_efficient",
                     choices=["hardware_efficient", "all_to_all", "basic",
                              "bn_structured"])
+    am.add_argument("--reupload", action="store_true",
+                    help="data re-uploading: the RY(x) embedding wall "
+                         "precedes every layer (conditioned bn_structured "
+                         "only; closes the amortization quality gap)")
     am.add_argument("--entropy-weight", type=float, default=1e-3)
     am.add_argument("--seed", type=int, default=0)
     return p
@@ -146,6 +154,7 @@ def main(argv=None):
                                     resume_state_path=args.resume_state,
                                     temper_betas=betas,
                                     num_samples=args.num_samples,
+                                    grad_method=args.grad_method,
                                     checkpoint_path=args.checkpoint)
     if args.command == "amortized":
         from .amortized import run_amortized_experiment
@@ -153,7 +162,8 @@ def main(argv=None):
         return run_amortized_experiment(
             num_qubits=args.qubits, num_epochs=args.epochs, lr=args.lr,
             layers=args.layers, quantum=args.quantum, ansatz=args.ansatz,
-            entropy_weight=args.entropy_weight, seed=args.seed)
+            entropy_weight=args.entropy_weight, seed=args.seed,
+            reupload=args.reupload)
     raise SystemExit(f"unknown command {args.command}")
 
 

@@ -79,3 +79,22 @@ def test_scale_sampled_ksd_objective():
                                objective="sampled-ksd", verbose=False)
     import numpy as np
     assert np.isfinite(np.asarray(out["history"]["loss_ksd"])).all()
+
+
+def test_cli_amortized_reupload_flag():
+    from tensornetworks_tpu.runners.cli import main
+
+    out = main(["amortized", "--qubits", "3", "--epochs", "60",
+                "--quantum", "--ansatz", "bn_structured", "--reupload",
+                "--lr", "0.05"])
+    assert out["model"].born_machine.cond_reupload is True
+    assert all(np.isfinite(v) for v in out["per_obs_tvd"].values())
+
+
+def test_cli_scale_sampled_grad_method():
+    from tensornetworks_tpu.runners.cli import main
+
+    out = main(["scale", "--qubits", "6", "--objective", "sampled-ksd",
+                "--epochs", "30", "--num-samples", "128",
+                "--grad-method", "adjoint"])
+    assert out["model"].born_machine.grad_method == "adjoint"

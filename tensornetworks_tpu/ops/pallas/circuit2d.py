@@ -30,7 +30,7 @@ from .precision import _kernel_precision
 
 from ...sim.blocked import _chain_gates, _cz_pairs
 from ...sim.blocked2d import _h_wall, _kron_h, _perm_matrix
-from ...sim.gates import rot_zy_batched, rot_zyx_batched, batched_kron
+from ...sim.gates import kron_fold, rot_zy_batched, rot_zyx_batched, batched_kron
 
 
 def _dot(a, b):
@@ -341,10 +341,7 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
         U = U.astype(jnp.complex64)
 
         def fold(lo, hi):
-            M = U[:, lo]
-            for q in range(lo + 1, hi):
-                M = batched_kron(M, U[:, q])
-            return M
+            return kron_fold([U[:, q] for q in range(lo, hi)])
 
         Mr = fold(0, rb)
         Mc = fold(rb, n)
@@ -352,12 +349,8 @@ def make_pallas_circuit2d_probs(num_wires: int, layers: int, ansatz_type: str,
             from ...sim.gates import ry_batched
 
             E = ry_batched(embed_angles.reshape(n)).astype(jnp.complex64)
-            Er = E[0]
-            for q in range(1, rb):
-                Er = batched_kron(Er, E[q])
-            Ec = E[rb]
-            for q in range(rb + 1, n):
-                Ec = batched_kron(Ec, E[q])
+            Er = kron_fold([E[q] for q in range(rb)])
+            Ec = kron_fold([E[q] for q in range(rb, n)])
             # Embedding applies before layer 0's rotations:
             # X <- Mr0 (Er X Ecᵀ) Mc0ᵀ = (Mr0 Er) X (Mc0 Ec)ᵀ.
             Mr = Mr.at[0].set(Mr[0] @ Er)

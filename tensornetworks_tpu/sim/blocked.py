@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from ..ops.kron import apply_adjacent_block
 from .ansatz import ANSATZ_TYPES
-from .gates import batched_kron, rot_zy_batched, rot_zyx_batched
+from .gates import batched_kron, kron_fold, rot_zy_batched, rot_zyx_batched
 
 
 def _blocks(n: int, b: int) -> List[Tuple[int, int]]:
@@ -187,9 +187,7 @@ def make_block_matrices_fn(num_wires: int, layers: int, ansatz_type: str,
         U = U.astype(dtype)  # (layers, n, 2, 2)
         out = []
         for i, (s, bs) in enumerate(blocks):
-            M = U[:, s]
-            for q in range(s + 1, s + bs):
-                M = batched_kron(M, U[:, q])
+            M = kron_fold([U[:, q] for q in range(s, s + bs)])
             if i == 0 and perm0 is not None:
                 M = jnp.einsum("ij,ljk->lik", jnp.asarray(perm0, dtype=dtype), M)
             out.append(M)
@@ -262,9 +260,7 @@ def make_blocked_state_fn(num_wires: int, layers: int, ansatz_type: str,
 
             U = ry_batched(embed_angles.reshape(n)).astype(dtype)  # (n, 2, 2)
             for s, bs in blocks:
-                M = U[s]
-                for qq in range(s + 1, s + bs):
-                    M = batched_kron(M, U[qq])
+                M = kron_fold([U[qq] for qq in range(s, s + bs)])
                 state = apply_adjacent_block(state, M, s, bs, n)
         mats = block_matrices(params)
 

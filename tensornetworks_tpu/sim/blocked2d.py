@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from .ansatz import ANSATZ_TYPES
 from .blocked import _chain_gates, _cnot_map, _cz_pairs
-from .gates import batched_kron, rot_zy_batched, rot_zyx_batched
+from .gates import batched_kron, kron_fold, rot_zy_batched, rot_zyx_batched
 
 MAX_2D_QUBITS = 18  # (R, C) rotation operators stay small (≤ 512²)
 
@@ -123,10 +123,7 @@ def make_blocked2d_state_fn(num_wires: int, layers: int, ansatz_type: str,
         U = U.astype(dtype)
 
         def fold(lo, hi):
-            M = U[:, lo]
-            for q in range(lo + 1, hi):
-                M = batched_kron(M, U[:, q])
-            return M
+            return kron_fold([U[:, q] for q in range(lo, hi)])
 
         return fold(0, rb), fold(rb, n)  # (L, R, R), (L, C, C)
 
@@ -141,12 +138,8 @@ def make_blocked2d_state_fn(num_wires: int, layers: int, ansatz_type: str,
             from .gates import ry_batched
 
             E = ry_batched(embed_angles.reshape(n)).astype(dtype)
-            Mr = E[0]
-            for q in range(1, rb):
-                Mr = batched_kron(Mr, E[q])
-            Mc = E[rb]
-            for q in range(rb + 1, n):
-                Mc = batched_kron(Mc, E[q])
+            Mr = kron_fold([E[q] for q in range(rb)])
+            Mc = kron_fold([E[q] for q in range(rb, n)])
             X = Mr @ X @ Mc.T
         M_rows, M_cols = rot_mats(params)
         Hc0 = jnp.asarray(H_col0, dtype=dtype)

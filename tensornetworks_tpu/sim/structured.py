@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.kron import apply_adjacent_block
-from .gates import batched_kron, rot_zyx_batched, ry_batched
+from .gates import batched_kron, kron_fold, rot_zyx_batched, ry_batched
 
 _SX = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=np.complex64)
 
@@ -132,10 +132,7 @@ def make_structured_probs_fn_flat(num_wires: int, layers: int,
                             angles[..., 2]).astype(dtype)
         out = []
         for s, bs in blocks:
-            M = U[:, s]
-            for q in range(s + 1, s + bs):
-                M = batched_kron(M, U[:, q])
-            out.append(M)
+            out.append(kron_fold([U[:, q] for q in range(s, s + bs)]))
         return out
 
     # Data re-uploading cost model: folding E into the per-layer rotation
@@ -156,9 +153,7 @@ def make_structured_probs_fn_flat(num_wires: int, layers: int,
             E = ry_batched(jnp.asarray(embed_angles).reshape(n)).astype(dtype)
             emb = []
             for i, (s, bs) in enumerate(blocks):
-                M = E[s]
-                for q in range(s + 1, s + bs):
-                    M = jnp.kron(M, E[q])
+                M = kron_fold([E[q] for q in range(s, s + bs)])
                 emb.append(M)
                 if fold_embed:
                     # Re-uploading: the RY(x) wall precedes EVERY layer,
@@ -412,10 +407,7 @@ def make_structured_probs_fn_composed(num_wires: int, layers: int,
 
     def fold(U, lo, hi):
         """(L, hi-lo) per-qubit 2x2s -> (L, 2^(hi-lo), 2^(hi-lo)) folds."""
-        M = U[:, lo]
-        for q in range(lo + 1, hi):
-            M = batched_kron(M, U[:, q])
-        return M
+        return kron_fold([U[:, q] for q in range(lo, hi)])
 
     def run(params, embed_angles=None):
         a = params.reshape(layers, n, 3)
@@ -437,12 +429,8 @@ def make_structured_probs_fn_composed(num_wires: int, layers: int,
             if embed_angles is None:
                 raise ValueError("conditioning=True requires embed_angles")
             E = ry_batched(jnp.asarray(embed_angles).reshape(n)).astype(dtype)
-            Er = E[0]
-            for q in range(1, rb):
-                Er = jnp.kron(Er, E[q])
-            Ec = E[rb]
-            for q in range(rb + 1, n):
-                Ec = jnp.kron(Ec, E[q])
+            Er = kron_fold([E[q] for q in range(rb)])
+            Ec = kron_fold([E[q] for q in range(rb, n)])
             X = Er @ X @ Ec.T
 
         transposed = False  # False: X is (R, C); True: X is (C, R)
@@ -615,10 +603,7 @@ def make_structured_probs_fn_blockcomposed(num_wires: int, layers: int,
                             angles[..., 2]).astype(dtype)
         out = []
         for s, bs in blocks:
-            M = U[:, s]
-            for q in range(s + 1, s + bs):
-                M = batched_kron(M, U[:, q])
-            out.append(M)
+            out.append(kron_fold([U[:, q] for q in range(s, s + bs)]))
         return out
 
     # Fold the re-uploaded wall into the rotation operators only when the
@@ -639,9 +624,7 @@ def make_structured_probs_fn_blockcomposed(num_wires: int, layers: int,
             E = ry_batched(jnp.asarray(embed_angles).reshape(n)).astype(dtype)
             emb = []
             for i, (s, bs) in enumerate(blocks):
-                M = E[s]
-                for q in range(s + 1, s + bs):
-                    M = jnp.kron(M, E[q])
+                M = kron_fold([E[q] for q in range(s, s + bs)])
                 emb.append(M)
                 if fold_embed:
                     mats[i] = jnp.einsum("lij,jk->lik", mats[i], M)
@@ -781,15 +764,10 @@ def make_structured_probs_fn(num_wires: int, layers: int,
     def fold_rotations(U):
         """(L, n, 2, 2) per-qubit rotations -> ((L, R, R), (L, C, C))
         layer-batched Kronecker folds for the left/right matmuls."""
-        M = U[:, 0]
-        for q in range(1, rb):
-            M = batched_kron(M, U[:, q])
+        M = kron_fold([U[:, q] for q in range(rb)])
         if cb == 0:
             return M, jnp.ones((layers, 1, 1), dtype=dtype)
-        N = U[:, rb]
-        for q in range(rb + 1, n):
-            N = batched_kron(N, U[:, q])
-        return M, N
+        return M, kron_fold([U[:, q] for q in range(rb, n)])
 
     def embed_wall(X, embed_angles):
         """RY(x_q) wall folded into one left + one right matmul."""

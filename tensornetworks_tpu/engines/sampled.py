@@ -11,7 +11,9 @@ memory. This engine needs **no 2^n-sized Stein structures**: per epoch it
 3. builds the (M, M) Stein Gram with the closed form on sample rows
    (ops/stein_sampled.py), and
 4. estimates ∇θ KSD² by the score-function (REINFORCE) identity
-   ∇θ E[k_p(z, z')] = 2 E[k_p(z, z') ∇θ log qθ(z)], with a mean baseline.
+   ∇θ E[k_p(z, z')] = 2 E[k_p(z, z') ∇θ log qθ(z)], with an exactly
+   unbiased leave-index-out baseline (``grad_baseline='loo'``; see
+   ops/stein_sampled.reinforce_surrogate for the bias analysis).
 
 No reference counterpart: ``sozoluffy/TensorNetworks`` is exact-only (its
 O(4^n)-per-epoch loop caps it at 3 latent variables in practice). The
@@ -73,7 +75,8 @@ class SampledKSDVariationalInference:
                  base_kernel_length_scale: float = 1.0,
                  num_samples: int = 512, seed: int = 0,
                  qbm_remat_layers: Optional[bool] = None,
-                 sampling: str = "auto", qbm_grad_method: str = "auto"):
+                 sampling: str = "auto", qbm_grad_method: str = "auto",
+                 grad_baseline: str = "loo"):
         self.bn = bn
         self.latent_vars_names = list(latent_vars_names)
         self.observed_vars_names = list(observed_vars_names)
@@ -108,6 +111,10 @@ class SampledKSDVariationalInference:
         if sampling not in ("flat", "two_stage"):
             raise ValueError(f"sampling must be flat|two_stage|auto, got {sampling!r}")
         self.sampling = sampling
+        if grad_baseline not in ("loo", "mean", "none"):
+            raise ValueError(
+                f"grad_baseline must be loo|mean|none, got {grad_baseline!r}")
+        self.grad_baseline = grad_baseline
         self.history_: Optional[dict] = None
 
     def train(self, x_observation_dict: Dict[str, int], num_epochs: int,
@@ -148,7 +155,7 @@ class SampledKSDVariationalInference:
             gram = stein_gram_samples(S_x.astype(jnp.float32), Z, n,
                                       self.length_scale)
             est = ksd_ustat(gram)
-            surrogate = reinforce_surrogate(gram, log_q)
+            surrogate = reinforce_surrogate(gram, log_q, self.grad_baseline)
             # Value reads as the U-stat estimate; gradient flows only
             # through the REINFORCE surrogate.
             loss = jax.lax.stop_gradient(est - surrogate) + surrogate

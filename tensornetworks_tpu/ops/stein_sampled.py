@@ -95,21 +95,41 @@ def ksd_vstat(gram: jnp.ndarray) -> jnp.ndarray:
 
 
 def reinforce_surrogate(gram: jnp.ndarray, log_q: jnp.ndarray,
-                        use_baseline: bool = True) -> jnp.ndarray:
+                        baseline: str = "loo") -> jnp.ndarray:
     """Scalar whose θ-gradient estimates ∇θ KSD² (U-statistic form).
 
     ``gram`` is treated as a constant (it carries no θ dependence — scores
     come from p, the kernel from the bits); ``log_q`` must be the
     differentiable log-probabilities of the M samples. The leave-one-out
     weights ``w_i = mean_{j≠i} k_p(z_i, z_j)`` give
-    ``∇ = (2/M) Σ_i w_i ∇log q(z_i)``; a scalar baseline (their mean) is
-    subtracted for variance since E[∇log q] = 0.
+    ``∇ = (2/M) Σ_i w_i ∇log q(z_i)``; a baseline ``b_i`` is subtracted
+    for variance reduction, valid because ``E[∇log q] = 0`` *when b_i is
+    independent of z_i*:
+
+    - ``"loo"`` (default): ``b_i = mean of the off-diagonal Gram entries
+      over pairs that exclude sample i`` — a function of the other M−1
+      samples only, so the estimator stays **exactly unbiased**
+      (verified by full enumeration in tests/test_sampled_ksd.py).
+    - ``"mean"``: the plain scalar mean of the w's. Cheaper by one vector
+      op but O(1/M)-biased: w̄ contains w_i itself and every w_j couples
+      to z_i through g_ij.
+    - ``"none"``: no baseline.
+
+    With M < 3 the loo baseline is undefined (no pairs exclude i); it
+    degrades to "none".
     """
     M = gram.shape[0]
     g = jax.lax.stop_gradient(gram)
-    w = (g.sum(axis=1) - jnp.diag(g)) / (M - 1)
-    if use_baseline:
+    row = g.sum(axis=1) - jnp.diag(g)           # Σ_{j≠i} g_ij
+    w = row / (M - 1)
+    if baseline == "loo" and M >= 3:
+        # Off-diagonal total minus both occurrences of row i (symmetric):
+        # Σ_{j≠k; j,k≠i} g_jk over (M-1)(M-2) ordered pairs.
+        w = w - (row.sum() - 2.0 * row) / ((M - 1) * (M - 2))
+    elif baseline == "mean":
         w = w - w.mean()
+    elif baseline not in ("none", "loo"):
+        raise ValueError(f"baseline must be loo|mean|none, got {baseline!r}")
     return 2.0 * (w * log_q).mean()
 
 

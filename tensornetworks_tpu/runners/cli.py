@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "O(1)-memory adjoint auto-enables at n >= 26")
     s.add_argument("--num-samples", type=int, default=1024,
                    help="shots per epoch for --objective sampled-ksd")
+    s.add_argument("--grad-baseline", type=str, default="loo",
+                   choices=["loo", "mean", "none"],
+                   help="REINFORCE baseline for --objective sampled-ksd: "
+                        "loo is exactly unbiased (default)")
     s.add_argument("--checkpoint", type=str, default=None,
                    help="Orbax checkpoint path written after training")
     s.add_argument("--mesh", type=int, default=None,
@@ -155,6 +159,7 @@ def main(argv=None):
                                     temper_betas=betas,
                                     num_samples=args.num_samples,
                                     grad_method=args.grad_method,
+                                    grad_baseline=args.grad_baseline,
                                     checkpoint_path=args.checkpoint)
     if args.command == "amortized":
         from .amortized import run_amortized_experiment

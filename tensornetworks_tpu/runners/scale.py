@@ -37,7 +37,8 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
                          temper_betas=None, backend: str = "auto",
                          num_samples: int = 1024,
                          checkpoint_path: Optional[str] = None,
-                         grad_method: str = "auto"):
+                         grad_method: str = "auto",
+                         grad_baseline: str = "loo"):
     """``chunk_epochs``/``resume_state_path``/``temper_betas``/``backend``
     plumb straight into the quantum KSD engine (see
     ``QuantumKSDVariationalInference.train``); ``num_samples`` applies to
@@ -91,7 +92,7 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
             bn, latent, list(observed.keys()), qbm_ansatz_layers=layers,
             qbm_ansatz_type="hardware_efficient",
             qbm_init_method="small_random", num_samples=num_samples, seed=seed,
-            qbm_grad_method=grad_method,
+            qbm_grad_method=grad_method, grad_baseline=grad_baseline,
         )
         history = model.train(observed, num_epochs=num_epochs,
                               lr_born_machine=lr, verbose=verbose,

@@ -259,3 +259,99 @@ def test_sampled_engine_auto_grad_method_threshold():
         bn, [f"V{i}" for i in range(8)], ["V8"], qbm_ansatz_layers=1,
         qbm_backend="blocked")
     assert small.born_machine.grad_method == "autodiff"
+
+
+def _loo_test_setup(n, bn_seed):
+    bn = get_random_chain_network(n + 1, seed=bn_seed)
+    latent = [f"V{i}" for i in range(n)]
+    obs = {f"V{n}": 1}
+    S = score_table(bn.conditional_joint_table(latent, obs))
+    Kp = jnp.asarray(np.asarray(stein_gram_dense(S, n, 1.0, dtype=jnp.float64)))
+    fn = make_latent_log_joint_fn(bn, latent, obs, dtype=jnp.float64)
+    return Kp, fn
+
+
+def test_reinforce_loo_baseline_exactly_unbiased():
+    """Full enumeration over all M=3 sample tuples: the loo baseline leaves
+    E[grad surrogate] == grad(q^T K_p q) to fp precision, while the plain
+    mean baseline is measurably O(1/M)-biased (w-bar couples to z_i)."""
+    n, M = 2, 3
+    Kp, fn = _loo_test_setup(n, bn_seed=2)
+    logits0 = 0.7 * jax.random.normal(jax.random.PRNGKey(3), (1 << n,),
+                                      dtype=jnp.float64)
+    q0 = np.asarray(jax.nn.softmax(logits0))
+
+    def exact(logits):
+        q = jax.nn.softmax(logits)
+        return q @ (Kp @ q)
+
+    g_exact = np.asarray(jax.grad(exact)(logits0))
+
+    def grad_for(idx_tuple, baseline):
+        idx = jnp.asarray(idx_tuple, dtype=jnp.int32)
+
+        def surr(logits):
+            log_q = jax.nn.log_softmax(logits)[idx]
+            Z = ((idx[:, None] >> jnp.arange(n - 1, -1, -1)) & 1)
+            Sx = score_at_samples(fn, Z.astype(jnp.int32))
+            gram = stein_gram_samples(Sx, Z.astype(jnp.float64), n, 1.0)
+            return reinforce_surrogate(gram, log_q, baseline)
+
+        return np.asarray(jax.grad(surr)(logits0))
+
+    import itertools
+
+    for baseline, expect_unbiased in (("loo", True), ("mean", False)):
+        g_mean = np.zeros(1 << n)
+        for tup in itertools.product(range(1 << n), repeat=M):
+            w = float(np.prod([q0[i] for i in tup]))
+            g_mean += w * grad_for(tup, baseline)
+        bias = np.abs(g_mean - g_exact).max() / np.abs(g_exact).max()
+        if expect_unbiased:
+            assert bias < 1e-10, f"loo bias {bias}"
+        else:
+            assert bias > 1e-6, f"mean baseline unexpectedly unbiased: {bias}"
+
+
+def test_reinforce_loo_baseline_reduces_variance():
+    """Empirical gradient variance: the loo baseline sits measurably under
+    no-baseline (measured ~13% here; the biased mean baseline cuts ~19% —
+    the loo price for exact unbiasedness is a few points of variance)."""
+    n, M = 4, 64
+    Kp, fn = _loo_test_setup(n, bn_seed=6)
+    logits0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (1 << n,),
+                                      dtype=jnp.float64)
+
+    @jax.jit
+    def sampled_grad(key, baseline_id):
+        def surr(logits):
+            idx = jax.random.categorical(
+                key, jax.lax.stop_gradient(logits), shape=(M,))
+            log_q = jax.nn.log_softmax(logits)[idx]
+            Z = ((idx[:, None] >> jnp.arange(n - 1, -1, -1)) & 1)
+            Sx = score_at_samples(fn, Z.astype(jnp.int32))
+            gram = stein_gram_samples(Sx, Z.astype(jnp.float64), n, 1.0)
+            return jax.lax.switch(baseline_id, [
+                lambda: reinforce_surrogate(gram, log_q, "none"),
+                lambda: reinforce_surrogate(gram, log_q, "loo"),
+            ])
+
+        return jax.grad(surr)(logits0)
+
+    keys = [jax.random.PRNGKey(k) for k in range(200)]
+    g_none = np.stack([np.asarray(sampled_grad(k, 0)) for k in keys])
+    g_loo = np.stack([np.asarray(sampled_grad(k, 1)) for k in keys])
+    var_none = g_none.var(axis=0).sum()
+    var_loo = g_loo.var(axis=0).sum()
+    assert var_loo < 0.95 * var_none, (var_loo, var_none)
+
+
+def test_reinforce_surrogate_rejects_unknown_baseline():
+    g = jnp.eye(4, dtype=jnp.float64)
+    lq = jnp.zeros(4, dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        reinforce_surrogate(g, lq, "ema")
+    with pytest.raises(ValueError):
+        SampledKSDVariationalInference(
+            get_sprinkler_network(), ["C", "S", "R"], ["W"],
+            qbm_ansatz_layers=1, qbm_backend="einsum", grad_baseline="ema")

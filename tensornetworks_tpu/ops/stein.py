@@ -283,7 +283,7 @@ class GcorrTables(NamedTuple):
 
     St: jnp.ndarray        # (n, 2^n) score rows (V build, term_G)
     Sfr: jnp.ndarray       # (rb, R, C) flip_t(S_t) for row bits
-    SfcT: jnp.ndarray      # (cb, C, R) flip_t(S_t) for col bits, pre-transposed
+    Sfc: jnp.ndarray       # (cb, R, C) flip_t(S_t) for col bits, natural layout
     Rv: jnp.ndarray        # (2^n,) Σ_t S_t
 
 
@@ -295,10 +295,10 @@ def _make_gcorr_tables_impl(S: jnp.ndarray, num_vars: int) -> GcorrTables:
     St = S.T
     Sfr = jnp.stack([_row_bit_flip(St[b].reshape(R, C), b)
                      for b in range(rb)])
-    SfcT = (jnp.stack([_row_bit_flip(St[rb + j].reshape(R, C).T, j)
-                       for j in range(cb)])
-            if cb else jnp.zeros((0, C, R), dtype=S.dtype))
-    return GcorrTables(St=St, Sfr=Sfr, SfcT=SfcT, Rv=St.sum(axis=0))
+    Sfc = (jnp.stack([_row_bit_flip(St[rb + j].reshape(R, C).T, j).T
+                      for j in range(cb)])
+           if cb else jnp.zeros((0, R, C), dtype=S.dtype))
+    return GcorrTables(St=St, Sfr=Sfr, Sfc=Sfc, Rv=St.sum(axis=0))
 
 
 def make_gcorr_tables(S: jnp.ndarray, num_vars: int,
@@ -314,7 +314,8 @@ def make_gcorr_tables(S: jnp.ndarray, num_vars: int,
 
 def stein_matvec_gcorr_tables(q: jnp.ndarray, t: GcorrTables, num_vars: int,
                               length_scale: float = 1.0, group: int = 7,
-                              kron: str = "rows") -> jnp.ndarray:
+                              kron: str = "rows",
+                              corr: str = "flips") -> jnp.ndarray:
     """y = K_p @ q from precomputed ``GcorrTables`` — the production large-n
     path (n+1 Kronecker columns + sublane-flip G-corrections, zero in-scan
     table recomputation).
@@ -342,6 +343,23 @@ def stein_matvec_gcorr_tables(q: jnp.ndarray, t: GcorrTables, num_vars: int,
     through one batched transpose) — down from 3n in round 2 and 2n in the
     first round-3 form. Exactness vs ``stein_matvec`` /
     ``stein_matvec_gcorr`` is asserted in tests/test_stein.py up to n = 20.
+
+    ``corr`` selects how the flip accumulator is evaluated:
+
+    - ``"flips"``: the per-bit sublane swaps above (exact elementwise moves;
+      the small-n production path).
+    - ``"matmul"``: both flip sums as TWO batched 0/1-permutation einsums on
+      the MXU — ``Σ_b P_b @ F_b`` for row bits and ``Σ_j F_j @ P_j`` for
+      column bits, with the permutations generated in-program from iota
+      (loop-invariant recomputation is cheap; tables would be (n/2)·R² each).
+      No per-bit kernels and ZERO transposes (the natural-layout ``Sfc``
+      feeds the right-multiplication directly). Measured at n=20 on v5e:
+      2.68 ms vs 3.48 ms for flips (the 10-swap row loop alone was 1.5 ms at
+      ~135 GB/s effective). On TPU the einsums run at the ambient matmul
+      precision (HIGH in the engines: f32 operands split into bf16 passes),
+      so results differ from the exact flips at ~1e-5·max rel — same error
+      class as every other HIGH dot in the pipeline (quality-equal, see
+      scripts/bench_precision.py); in f64 on CPU both are exact.
     """
     n = num_vars
     if n == 0:
@@ -368,40 +386,67 @@ def stein_matvec_gcorr_tables(q: jnp.ndarray, t: GcorrTables, num_vars: int,
     P0, Q = Y[0], Y[1:]
 
     X0 = P0.reshape(R, C)
-    acc = jnp.zeros((R, C), dtype=q.dtype)
-    for b in range(rb):
-        F = alpha * (t.Sfr[b] * X0 + Q[b].reshape(R, C)) + gamma * X0
-        acc = acc + _row_bit_flip(F, b)
-    if cb:
-        X0t = X0.T
-        Qt = Q[rb:].reshape(cb, R, C).transpose(0, 2, 1)
-        accT = jnp.zeros((C, R), dtype=q.dtype)
-        for j in range(cb):
-            F = alpha * (t.SfcT[j] * X0t + Qt[j]) + gamma * X0t
-            accT = accT + _row_bit_flip(F, j)
-        acc = acc + accT.T
+    if corr == "matmul":
+        F = alpha * (t.Sfr * X0[None] + Q[:rb].reshape(rb, R, C)) \
+            + gamma * X0[None]
+        xr = jnp.asarray([R >> (b + 1) for b in range(rb)],
+                         dtype=jnp.int32)[:, None, None]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rb, R, R), 1)
+        si = jax.lax.broadcasted_iota(jnp.int32, (rb, R, R), 2)
+        Pr = (si == (ri ^ xr)).astype(q.dtype)
+        acc = jnp.einsum("brs,bsc->rc", Pr, F,
+                         preferred_element_type=q.dtype)
+        if cb:
+            Fc = alpha * (t.Sfc * X0[None] + Q[rb:].reshape(cb, R, C)) \
+                + gamma * X0[None]
+            xc = jnp.asarray([C >> (j + 1) for j in range(cb)],
+                             dtype=jnp.int32)[:, None, None]
+            ci = jax.lax.broadcasted_iota(jnp.int32, (cb, C, C), 1)
+            di = jax.lax.broadcasted_iota(jnp.int32, (cb, C, C), 2)
+            Pc = (di == (ci ^ xc)).astype(q.dtype)
+            acc = acc + jnp.einsum("brc,bcd->rd", Fc, Pc,
+                                   preferred_element_type=q.dtype)
+    elif corr == "flips":
+        acc = jnp.zeros((R, C), dtype=q.dtype)
+        for b in range(rb):
+            F = alpha * (t.Sfr[b] * X0 + Q[b].reshape(R, C)) + gamma * X0
+            acc = acc + _row_bit_flip(F, b)
+        if cb:
+            X0t = X0.T
+            Qt = Q[rb:].reshape(cb, R, C).transpose(0, 2, 1)
+            SfcT = jnp.transpose(t.Sfc, (0, 2, 1))
+            accT = jnp.zeros((C, R), dtype=q.dtype)
+            for j in range(cb):
+                F = alpha * (SfcT[j] * X0t + Qt[j]) + gamma * X0t
+                accT = accT + _row_bit_flip(F, j)
+            acc = acc + accT.T
+    else:
+        raise ValueError(f"corr must be matmul|flips, got {corr!r}")
 
     term_G = (t.St * Q).sum(axis=0)
     sumQ = Q.sum(axis=0)
     return (term_G + w1 * (t.Rv * P0 + sumQ) + w0 * P0 + acc.reshape(-1))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def ksd_quadform_gcorr(q, tables: GcorrTables, num_vars: int,
                        length_scale: float = 1.0, group: int = 7,
-                       kron: str = "rows"):
+                       kron: str = "rows", corr: str = "flips"):
     """qᵀ K_p q via the gcorr-tables matvec; grad reuses the forward matvec
     (K_p symmetric), tables get zero cotangents."""
-    y = stein_matvec_gcorr_tables(q, tables, num_vars, length_scale, group, kron)
+    y = stein_matvec_gcorr_tables(q, tables, num_vars, length_scale, group,
+                                  kron, corr)
     return jnp.dot(q, y)
 
 
-def _ksd_quadform_gcorr_fwd(q, tables, num_vars, length_scale, group, kron):
-    y = stein_matvec_gcorr_tables(q, tables, num_vars, length_scale, group, kron)
+def _ksd_quadform_gcorr_fwd(q, tables, num_vars, length_scale, group, kron,
+                            corr):
+    y = stein_matvec_gcorr_tables(q, tables, num_vars, length_scale, group,
+                                  kron, corr)
     return jnp.dot(q, y), (y, tables)
 
 
-def _ksd_quadform_gcorr_bwd(num_vars, length_scale, group, kron, res, g):
+def _ksd_quadform_gcorr_bwd(num_vars, length_scale, group, kron, corr, res, g):
     y, tables = res
     return (2.0 * g * y, jax.tree.map(jnp.zeros_like, tables))
 
@@ -549,6 +594,10 @@ class SteinOperator:
                       else make_gcorr_tables(self.S, num_vars,
                                              self.length_scale))
         self._gcorr_kron = "2d" if num_vars <= 17 else "rows"
+        # Permutation-einsum corrections beat the sublane-flip loop once the
+        # per-bit kernels dominate (measured n=20: 2.68 vs 3.48 ms); at small
+        # n both are sub-ms and flips stay bit-exact at any precision.
+        self._gcorr_corr = "matmul" if num_vars >= 18 else "flips"
 
     def matvec(self, q: jnp.ndarray) -> jnp.ndarray:
         if self.dense:
@@ -556,7 +605,8 @@ class SteinOperator:
         if self.gcorr is not None:
             return stein_matvec_gcorr_tables(q, self.gcorr, self.num_vars,
                                              self.length_scale, self.group,
-                                             self._gcorr_kron)
+                                             self._gcorr_kron,
+                                             self._gcorr_corr)
         return stein_matvec(q, self.S, self.B, self.num_vars, self.length_scale,
                             self.group, self.compute_dtype)
 
@@ -567,7 +617,7 @@ class SteinOperator:
         if self.gcorr is not None:
             return ksd_quadform_gcorr(q, self.gcorr, self.num_vars,
                                       self.length_scale, self.group,
-                                      self._gcorr_kron)
+                                      self._gcorr_kron, self._gcorr_corr)
         return ksd_quadform(q, self.S, self.B, self.num_vars, self.length_scale,
                             self.group, self.compute_dtype)
 
@@ -597,7 +647,7 @@ class SteinOperator:
             (gtab,) = tables
             return ksd_quadform_gcorr(q, gtab, self.num_vars,
                                       self.length_scale, self.group,
-                                      self._gcorr_kron)
+                                      self._gcorr_kron, self._gcorr_corr)
         S, B = tables
         if self._pallas_quadform is not None:
             return self._pallas_quadform(q, S, B)

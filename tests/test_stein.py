@@ -338,6 +338,8 @@ def test_gcorr_tables_large_n_window_matches_naive():
         y_ref = np.asarray(stein_matvec(q, S, B, n, compute_dtype=jnp.float64))
         tables = make_gcorr_tables(S, n)
         for kron in ("2d", "rows"):
-            y = np.asarray(stein_matvec_gcorr_tables(q, tables, n, kron=kron))
-            np.testing.assert_allclose(y, y_ref, rtol=1e-9,
-                                       atol=1e-9 * np.abs(y_ref).max())
+            for corr in ("flips", "matmul"):
+                y = np.asarray(stein_matvec_gcorr_tables(q, tables, n,
+                                                         kron=kron, corr=corr))
+                np.testing.assert_allclose(y, y_ref, rtol=1e-9,
+                                           atol=1e-9 * np.abs(y_ref).max())

@@ -113,7 +113,7 @@ def main():
         q0 = jnp.asarray(rng.dirichlet(np.ones(size)).astype(np.float32))
         from tensornetworks_tpu.ops.stein import stein_matvec_gcorr_tables
         (gtab,) = tables
-        timed_scan(lambda q, gt: (y := stein_matvec_gcorr_tables(q, gt, n, 1.0, kron=op._gcorr_kron),
+        timed_scan(lambda q, gt: (y := stein_matvec_gcorr_tables(q, gt, n, 1.0, kron=op._gcorr_kron, corr=op._gcorr_corr),
                               y / jnp.sum(jnp.abs(y)))[1],
                    q0, iters, "stein matvec", flops=mv_flops,
                    bytes_moved=mv_bytes, consts=(gtab,))

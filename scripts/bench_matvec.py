@@ -20,6 +20,7 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     variant = sys.argv[3] if len(sys.argv) > 3 else "old"
     group = int(sys.argv[4]) if len(sys.argv) > 4 else 7
+    corr = sys.argv[5] if len(sys.argv) > 5 else "flips"
 
     import jax
     import jax.numpy as jnp
@@ -50,7 +51,7 @@ def main():
         extra = (make_gcorr_tables(S, n, 1.0),)
         kr = "2d" if n <= 17 else "rows"
         mv = lambda q_, S_, B_, n_, ls_: stein_matvec_gcorr_tables(
-            q_, tab_ref[0], n_, ls_, group=group, kron=kr)
+            q_, tab_ref[0], n_, ls_, group=group, kron=kr, corr=corr)
 
     def run(q0, S_, B_, *tabs):
         if tabs:
@@ -72,7 +73,8 @@ def main():
         _, vals = run_j(q, S, B, *extra)
         float(vals[-1])
         dt = time.perf_counter() - t0
-    print(f"stein_matvec[{variant}] n={n}: {1e3 * dt / iters:.3f} ms/call "
+    tag = f"{variant}:{corr}" if variant == "tables" else variant
+    print(f"stein_matvec[{tag}] n={n}: {1e3 * dt / iters:.3f} ms/call "
           f"({iters} in-scan iters)")
 
 

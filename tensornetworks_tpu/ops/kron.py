@@ -124,6 +124,28 @@ def _group_plan_tail(num_vars: int, group: int):
     return plan
 
 
+def _group_plan_balanced(num_vars: int, group: int):
+    """Pass-count-minimal balanced grouping with sizes capped at group+1.
+
+    Each pass costs a full read+write of the (C, 2^n) operand, so pass count
+    dominates at large n; per-pass FLOPs scale 2^size, so sizes are balanced.
+    The remainder-first plan this replaces could emit a tiny remainder group —
+    at n=22, group=7 it produced a 4th pass with a 2-extent contraction (a
+    whole extra 368 MB round trip to apply one 2x2)."""
+    if num_vars == 0:
+        return []
+    k = -(-num_vars // (group + 1))
+    base = num_vars // k
+    rem = num_vars - base * k
+    sizes = [base + 1] * rem + [base] * (k - rem)
+    plan = []
+    s = 0
+    for g in sizes:
+        plan.append((s, g))
+        s += g
+    return plan
+
+
 def kron_matvec_rows(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 7) -> jnp.ndarray:
     """(A^{⊗n}) applied along the TRAILING state axis of every row of a
     ``(C, 2^n)`` matrix.
@@ -138,7 +160,7 @@ def kron_matvec_rows(v: jnp.ndarray, A: np.ndarray, num_vars: int, group: int = 
     dtype = v.dtype
     c = v.shape[0]
     out = v
-    for s, g in _group_plan_head(num_vars, group):
+    for s, g in _group_plan_balanced(num_vars, group):
         M = jnp.asarray(kron_power_np(A, g), dtype=dtype)
         pre = c << s
         blk = 1 << g

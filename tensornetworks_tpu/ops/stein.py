@@ -149,6 +149,15 @@ def _row_bit_flip(X: jnp.ndarray, t: int) -> jnp.ndarray:
     return X.reshape(pre, 2, R // (2 * pre), C)[:, ::-1].reshape(R, C)
 
 
+def _col_bit_flip(X: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Reverse column-index bit ``t`` (MSB-first) of an (R, C) matrix. Cheap
+    only for COARSE bits (flip stride ≥ 128 lanes: whole lane-tile block
+    swaps); fine column bits belong in the folded permutation einsum."""
+    R, C = X.shape
+    pre = 1 << t
+    return X.reshape(R, pre, 2, C // (2 * pre))[:, :, ::-1].reshape(R, C)
+
+
 def stein_matvec_gcorr(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray,
                        num_vars: int, length_scale: float = 1.0,
                        group: int = 7, kron: str = "2d") -> jnp.ndarray:
@@ -360,6 +369,15 @@ def stein_matvec_gcorr_tables(q: jnp.ndarray, t: GcorrTables, num_vars: int,
       so results differ from the exact flips at ~1e-5·max rel — same error
       class as every other HIGH dot in the pipeline (quality-equal, see
       scripts/bench_precision.py); in f64 on CPU both are exact.
+    - ``"folded"``: coarse bits (flip stride ≥ 128) as exact axis reverses,
+      all finer bits batched into one (128, 128)-permutation einsum per side
+      on the tile-folded view — cuts the permutation FLOPs from (rb+cb)·R²·C
+      to ~n·R·128·C. Measured on the v5e: LOSES at n=20 (4.40 vs 2.68 ms)
+      and n=22 (23.5 vs 22.2) — the extra per-op dispatch/relayout cost of
+      the reverses outweighs the FLOP cut while the big einsum still fits the
+      dot-stream budget — but the matmul form's FLOPs scale R²·C ∝ 8^(n/2)
+      (~3.3 TFLOP at n=24, ~75 ms) while folded stays ∝ n·2^n, so folded is
+      the production choice from n ≥ 24 (exact-KSD enablement).
     """
     n = num_vars
     if n == 0:
@@ -420,8 +438,56 @@ def stein_matvec_gcorr_tables(q: jnp.ndarray, t: GcorrTables, num_vars: int,
                 F = alpha * (SfcT[j] * X0t + Qt[j]) + gamma * X0t
                 accT = accT + _row_bit_flip(F, j)
             acc = acc + accT.T
+    elif corr == "folded":
+        # Hybrid accumulator for large n. The batched full-permutation einsum
+        # ("matmul") pays (rb+cb)·R²·C FLOPs — 189 GFLOP at n=22. But a flip
+        # of bit b only permutes within aligned blocks of 2·stride: COARSE
+        # bits (stride ≥ 128 rows/lanes) are whole-tile block swaps → plain
+        # axis reverses (exact copies, zero FLOPs); everything finer lives
+        # inside 128-wide tiles → ONE batched (128, 128) permutation einsum
+        # per side on the (…, 128)-folded view, R·128·C FLOPs per bit instead
+        # of R²·C. Exact in f64; on TPU the fine einsums run at the ambient
+        # matmul precision like every other dot (coarse bits stay bit-exact).
+        acc = jnp.zeros((R, C), dtype=q.dtype)
+        Qr = Q[:rb].reshape(rb, R, C)
+        m = min(128, R)
+        b0 = next((b for b in range(rb) if (R >> (b + 1)) < m), rb)
+        for b in range(b0):
+            Fb = alpha * (t.Sfr[b] * X0 + Qr[b]) + gamma * X0
+            acc = acc + _row_bit_flip(Fb, b)
+        nf = rb - b0
+        if nf:
+            st = jnp.asarray([R >> (b + 1) for b in range(b0, rb)],
+                             dtype=jnp.int32)[:, None, None]
+            mi = jax.lax.broadcasted_iota(jnp.int32, (nf, m, m), 1)
+            si = jax.lax.broadcasted_iota(jnp.int32, (nf, m, m), 2)
+            Pf = (si == (mi ^ st)).astype(q.dtype)
+            Ff = (alpha * (t.Sfr[b0:] * X0[None] + Qr[b0:])
+                  + gamma * X0[None]).reshape(nf, R // m, m, C)
+            y = jnp.einsum("bms,bgsc->gmc", Pf, Ff,
+                           preferred_element_type=q.dtype)
+            acc = acc + y.reshape(R, C)
+        if cb:
+            Qc = Q[rb:].reshape(cb, R, C)
+            mc = min(128, C)
+            j0 = next((j for j in range(cb) if (C >> (j + 1)) < mc), cb)
+            for j in range(j0):
+                Fj = alpha * (t.Sfc[j] * X0 + Qc[j]) + gamma * X0
+                acc = acc + _col_bit_flip(Fj, j)
+            nfc = cb - j0
+            if nfc:
+                st = jnp.asarray([C >> (j + 1) for j in range(j0, cb)],
+                                 dtype=jnp.int32)[:, None, None]
+                ci = jax.lax.broadcasted_iota(jnp.int32, (nfc, mc, mc), 1)
+                di = jax.lax.broadcasted_iota(jnp.int32, (nfc, mc, mc), 2)
+                Pc = (di == (ci ^ st)).astype(q.dtype)
+                Fc = (alpha * (t.Sfc[j0:] * X0[None] + Qc[j0:])
+                      + gamma * X0[None]).reshape(nfc, R, C // mc, mc)
+                y = jnp.einsum("brgc,bcd->rgd", Fc, Pc,
+                               preferred_element_type=q.dtype)
+                acc = acc + y.reshape(R, C)
     else:
-        raise ValueError(f"corr must be matmul|flips, got {corr!r}")
+        raise ValueError(f"corr must be matmul|flips|folded, got {corr!r}")
 
     term_G = (t.St * Q).sum(axis=0)
     sumQ = Q.sum(axis=0)
@@ -580,7 +646,12 @@ class SteinOperator:
             self._pallas_quadform = make_pallas_stein2d_quadform(num_vars, length_scale)
         self.dense = dense if dense is not None else num_vars <= self.DENSE_MAX_VARS
         self.S = jnp.asarray(score, dtype=dtype)
-        self.B = jnp.asarray(all_bitstrings(num_vars), dtype=dtype)
+        # B is only consumed by the dense Gram build and the generic 3n+1
+        # matvec fallback; the production gcorr path never touches it. Build
+        # it lazily — at n = 24 the (2^n, n) float32 table is 1.6 GB of HBM
+        # that the exact-KSD engine cannot spare.
+        self._B = None
+        self._B_dtype = dtype
         self.gram = (
             stein_gram_dense(self.S, num_vars, length_scale, dtype=dtype)
             if self.dense
@@ -596,8 +667,18 @@ class SteinOperator:
         self._gcorr_kron = "2d" if num_vars <= 17 else "rows"
         # Permutation-einsum corrections beat the sublane-flip loop once the
         # per-bit kernels dominate (measured n=20: 2.68 vs 3.48 ms); at small
-        # n both are sub-ms and flips stay bit-exact at any precision.
-        self._gcorr_corr = "matmul" if num_vars >= 18 else "flips"
+        # n both are sub-ms and flips stay bit-exact at any precision. From
+        # n >= 24 the full-perm einsum's R²·C FLOPs blow up (3.3 TFLOP at 24)
+        # and the tile-folded hybrid takes over (see the matvec docstring).
+        self._gcorr_corr = ("folded" if num_vars >= 24
+                            else "matmul" if num_vars >= 18 else "flips")
+
+    @property
+    def B(self) -> jnp.ndarray:
+        if self._B is None:
+            self._B = jnp.asarray(all_bitstrings(self.num_vars),
+                                  dtype=self._B_dtype)
+        return self._B
 
     def matvec(self, q: jnp.ndarray) -> jnp.ndarray:
         if self.dense:

@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--mesh", type=int, default=None,
                    help="shard the 2^n state over this many devices "
                         "(distributed KSD engine; ksd objective only)")
+    s.add_argument("--track-tvd", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="per-epoch exact-TVD eval vs the enumerated "
+                        "posterior (auto: on up to 20 qubits; 'on' extends "
+                        "it to the 22-24q exact runs at ~256 MB host RAM)")
 
     am = sub.add_parser("amortized",
                         help="amortized KSD over ALL observations at once")
@@ -160,7 +165,9 @@ def main(argv=None):
                                     num_samples=args.num_samples,
                                     grad_method=args.grad_method,
                                     grad_baseline=args.grad_baseline,
-                                    checkpoint_path=args.checkpoint)
+                                    checkpoint_path=args.checkpoint,
+                                    track_tvd={"auto": None, "on": True,
+                                               "off": False}[args.track_tvd])
     if args.command == "amortized":
         from .amortized import run_amortized_experiment
 

@@ -9,6 +9,7 @@ a brute-force Eq.-13 implementation written independently here.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tensornetworks_tpu.core import BayesianNetwork, all_bitstrings, get_sprinkler_network
 from tensornetworks_tpu.ops import (
@@ -327,7 +328,7 @@ def test_gcorr_tables_large_n_window_matches_naive():
     from tensornetworks_tpu.ops.stein import (make_gcorr_tables,
                                               stein_matvec_gcorr_tables)
 
-    for n in (18, 20):
+    for n in (18, 20, 21):
         bn = get_random_chain_network(n + 1, seed=n)
         t = bn.conditional_joint_table([f"V{i}" for i in range(n)],
                                        {f"V{n}": 1})
@@ -338,8 +339,35 @@ def test_gcorr_tables_large_n_window_matches_naive():
         y_ref = np.asarray(stein_matvec(q, S, B, n, compute_dtype=jnp.float64))
         tables = make_gcorr_tables(S, n)
         for kron in ("2d", "rows"):
-            for corr in ("flips", "matmul"):
+            for corr in ("flips", "matmul", "folded"):
                 y = np.asarray(stein_matvec_gcorr_tables(q, tables, n,
                                                          kron=kron, corr=corr))
                 np.testing.assert_allclose(y, y_ref, rtol=1e-9,
                                            atol=1e-9 * np.abs(y_ref).max())
+
+
+@pytest.mark.slow
+def test_gcorr_tables_n22_matches_naive():
+    # Completes the VERDICT r2 directive-3 window (18-22) at its upper end
+    # for the production n=22 configuration (rows kron + folded/matmul
+    # corrections). Kept `slow`: the naive reference builds a (67, 2^22)
+    # float64 column batch (~2.2 GB).
+    from tensornetworks_tpu.core import get_random_chain_network
+    from tensornetworks_tpu.core.bits import all_bitstrings as ab
+    from tensornetworks_tpu.ops.stein import (make_gcorr_tables,
+                                              stein_matvec_gcorr_tables)
+
+    n = 22
+    bn = get_random_chain_network(n + 1, seed=n)
+    t = bn.conditional_joint_table([f"V{i}" for i in range(n)], {f"V{n}": 1})
+    S = jnp.asarray(score_table(t), dtype=jnp.float64)
+    B = jnp.asarray(ab(n), dtype=jnp.float64)
+    q = jnp.asarray(np.random.default_rng(n).dirichlet(np.ones(2**n)),
+                    dtype=jnp.float64)
+    y_ref = np.asarray(stein_matvec(q, S, B, n, compute_dtype=jnp.float64))
+    tables = make_gcorr_tables(S, n)
+    for corr in ("folded", "matmul"):
+        y = np.asarray(stein_matvec_gcorr_tables(q, tables, n, kron="rows",
+                                                 corr=corr))
+        np.testing.assert_allclose(y, y_ref, rtol=1e-9,
+                                   atol=1e-9 * np.abs(y_ref).max())

@@ -43,7 +43,8 @@ def main():
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.dirichlet(np.ones(1 << n)).astype(np.float32))
     S = jnp.asarray(rng.normal(size=(1 << n, n)).astype(np.float32))
-    B = jnp.asarray(all_bitstrings(n), dtype=jnp.float32)
+    B = (jnp.asarray(all_bitstrings(n), dtype=jnp.float32)
+         if variant != "tables" else jnp.zeros((1, 1), dtype=jnp.float32))
 
     tab_ref = [None]
     extra = ()
@@ -52,6 +53,10 @@ def main():
         kr = "2d" if n <= 17 else "rows"
         mv = lambda q_, S_, B_, n_, ls_: stein_matvec_gcorr_tables(
             q_, tab_ref[0], n_, ls_, group=group, kron=kr, corr=corr)
+        # the tables variant never reads S/B inside the scan — don't keep
+        # 2·(2^n, n) dead arrays on the chip (3.2 GB at n = 24)
+        S = jnp.zeros((1, 1), dtype=jnp.float32)
+        B = jnp.zeros((1, 1), dtype=jnp.float32)
 
     def run(q0, S_, B_, *tabs):
         if tabs:

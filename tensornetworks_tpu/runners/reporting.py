@@ -32,5 +32,8 @@ def print_stability_stats(history: dict, key: str = "tvd"):
     print(f"\nTVD stats: mean {vals.mean():.6f} | std {vals.std():.6f} | min {vals.min():.6f}")
     print(f"Stability: early-std {early.std():.6f} -> late-std {late.std():.6f}")
     if "epochs_per_sec" in history:
+        steady = history.get("epochs_per_sec_steady")
         print(f"Throughput: {history['epochs_per_sec']:.1f} epochs/s "
-              f"({history.get('train_seconds', float('nan')):.3f}s total)")
+              f"({history.get('train_seconds', float('nan')):.3f}s total"
+              + (f"; steady {steady:.1f} epochs/s post-compile chunks"
+                 if steady else "") + ")")

@@ -428,9 +428,19 @@ class KSDVariationalInference:
             num_latent_vars=self.num_latent_vars, dtype=dtype, **born_machine_config
         )
         self.params = self.born_machine.init(jax.random.PRNGKey(seed))
-        self.all_latent_states_tuples = generate_all_binary_outcomes(self.num_latent_vars)
+        self._all_latent_states_tuples: Optional[list] = None
         self._x_condition = None
         self.history_: Optional[dict] = None
+
+    @property
+    def all_latent_states_tuples(self) -> list:
+        # Built lazily: the 2^n Python tuple list (~8 GB host, minutes of
+        # interpreter time at n = 24) is only needed by the dict-keyed TVD
+        # paths — never by large-n array-path training.
+        if self._all_latent_states_tuples is None:
+            self._all_latent_states_tuples = generate_all_binary_outcomes(
+                self.num_latent_vars)
+        return self._all_latent_states_tuples
 
     def _x_cond_tensor(self, x_observation_dict):
         if self.num_observed_vars == 0:
@@ -627,8 +637,18 @@ class QuantumKSDVariationalInference:
             init_method=qbm_init_method, backend=qbm_backend, edges=qbm_edges,
         )
         self.params = self.born_machine.init(jax.random.PRNGKey(seed))
-        self.all_latent_states_tuples = generate_all_binary_outcomes(self.num_latent_vars)
+        self._all_latent_states_tuples: Optional[list] = None
         self.history_: Optional[dict] = None
+
+    @property
+    def all_latent_states_tuples(self) -> list:
+        # Lazy for the same reason as the classical engine's: 2^n tuples are
+        # a dict-API convenience, not a training dependency (n = 24 exact
+        # runs would otherwise pay ~8 GB host RAM in the constructor).
+        if self._all_latent_states_tuples is None:
+            self._all_latent_states_tuples = generate_all_binary_outcomes(
+                self.num_latent_vars)
+        return self._all_latent_states_tuples
 
     def build_operator(self, x_observation_dict, temper_beta: float = 1.0) -> SteinOperator:
         t = self.bn.conditional_joint_table(self.latent_vars_names, x_observation_dict)

@@ -645,11 +645,13 @@ class SteinOperator:
 
             self._pallas_quadform = make_pallas_stein2d_quadform(num_vars, length_scale)
         self.dense = dense if dense is not None else num_vars <= self.DENSE_MAX_VARS
-        self.S = jnp.asarray(score, dtype=dtype)
-        # B is only consumed by the dense Gram build and the generic 3n+1
-        # matvec fallback; the production gcorr path never touches it. Build
-        # it lazily — at n = 24 the (2^n, n) float32 table is 1.6 GB of HBM
-        # that the exact-KSD engine cannot spare.
+        # S and B are only consumed by the dense Gram build and the generic
+        # 3n+1 matvec fallback; the production gcorr path derives its own
+        # tables and never touches them again. Build both lazily — at n = 24
+        # each (2^n, n) float32 table is 1.6 GB of HBM that the exact-KSD
+        # engine cannot spare. (The score is kept host-side as numpy.)
+        self._score_np = np.asarray(score)
+        self._S = None
         self._B = None
         self._B_dtype = dtype
         self.gram = (
@@ -660,10 +662,12 @@ class SteinOperator:
         # n+1-column decomposition tables (the production matvec): built once
         # here because XLA does not hoist their recomputation out of training
         # scans (measured +4.7 ms/epoch at n = 20). Two-sided-dense Kronecker
-        # apply through n = 17; grouped rows beyond (FLOP factor).
+        # apply through n = 17; grouped rows beyond (FLOP factor). The device
+        # score array used for the build is a temporary: it frees once the
+        # tables exist unless .S is touched later.
         self.gcorr = (None if self.dense or self._pallas_quadform is not None
-                      else make_gcorr_tables(self.S, num_vars,
-                                             self.length_scale))
+                      else make_gcorr_tables(jnp.asarray(score, dtype=dtype),
+                                             num_vars, self.length_scale))
         self._gcorr_kron = "2d" if num_vars <= 17 else "rows"
         # Permutation-einsum corrections beat the sublane-flip loop once the
         # per-bit kernels dominate (measured n=20: 2.68 vs 3.48 ms); at small
@@ -672,6 +676,12 @@ class SteinOperator:
         # and the tile-folded hybrid takes over (see the matvec docstring).
         self._gcorr_corr = ("folded" if num_vars >= 24
                             else "matmul" if num_vars >= 18 else "flips")
+
+    @property
+    def S(self) -> jnp.ndarray:
+        if self._S is None:
+            self._S = jnp.asarray(self._score_np, dtype=self._B_dtype)
+        return self._S
 
     @property
     def B(self) -> jnp.ndarray:

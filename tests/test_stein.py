@@ -371,3 +371,28 @@ def test_gcorr_tables_n22_matches_naive():
                                                  corr=corr))
         np.testing.assert_allclose(y, y_ref, rtol=1e-9,
                                    atol=1e-9 * np.abs(y_ref).max())
+
+
+def test_operator_gcorr_path_keeps_s_and_b_lazy():
+    # The production gcorr operator must never materialize the (2^n, n)
+    # S/B device tables: at n = 24 each is 1.6 GB of HBM the exact-KSD
+    # engine cannot spare. matvec/quadform/args() may only touch the
+    # GcorrTables; .S/.B stay host-side-only until explicitly requested
+    # (the distributed placement path does, and must still work).
+    from tensornetworks_tpu.ops import SteinOperator, score_table
+    from tensornetworks_tpu.core import get_random_chain_network
+
+    n = 13
+    bn = get_random_chain_network(n + 1, seed=1)
+    t = bn.conditional_joint_table([f"V{i}" for i in range(n)], {f"V{n}": 1})
+    op = SteinOperator(score_table(t), n, dense=False)
+    assert op.gcorr is not None
+    q = jnp.asarray(np.random.default_rng(0).dirichlet(np.ones(2**n)),
+                    dtype=jnp.float32)
+    op.matvec(q)
+    float(op.quadform(q))
+    float(op.ksd_loss_from(q, *op.args()))
+    assert op._S is None and op._B is None
+    # Explicit access still materializes them (fallback + distributed paths).
+    assert op.S.shape == (2**n, n) and op.B.shape == (2**n, n)
+    assert op._S is not None and op._B is not None

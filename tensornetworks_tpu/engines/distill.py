@@ -48,11 +48,19 @@ def fit_born_machine(born_machine, target_probs, *, num_epochs: int = 1000,
                      use_lr_scheduler: bool = True,
                      gradient_clip_norm: float = 10.0,
                      params0=None, x_condition=None,
-                     seed: int = 0, jit: bool = True):
+                     seed: int = 0, jit: bool = True,
+                     chunk_epochs: Optional[int] = None):
     """Fit ``born_machine`` so its distribution matches ``target_probs``.
 
     Works with either ``ClassicalBornMachine`` or ``QuantumBornMachine``
     (anything exposing ``.init(key)`` and ``.probs(params[, x])``).
+
+    ``chunk_epochs``: like the VI engines' chunked mode — split the epoch
+    scan into separately dispatched bounded programs (bit-identical results;
+    one jitted chunk program reused across chunks). Required on backends
+    that kill long-running device programs (the tunneled TPU) once
+    ``num_epochs`` × per-epoch cost exceeds the runtime bound — e.g. direct
+    fits at n ≥ 22.
 
     Returns ``(best_params, history)`` where ``history`` has ``loss``,
     ``tvd`` (always tracked vs the target, whatever the fit loss),
@@ -69,9 +77,7 @@ def fit_born_machine(born_machine, target_probs, *, num_epochs: int = 1000,
             return born_machine.probs(p, x_condition).astype(jnp.float32)
         return born_machine.probs(p).astype(jnp.float32)
 
-    def run(params, target):
-        opt_state = optimizer.init(params)
-
+    def _scan_epochs(carry, epochs, target):
         def step(carry, epoch):
             p, st, bt, be, bp = carry
             loss_v, grads = jax.value_and_grad(
@@ -86,16 +92,34 @@ def fit_born_machine(born_machine, target_probs, *, num_epochs: int = 1000,
             bp = tree_select(imp, p, bp)
             return (p, st, bt, be, bp), (loss_v, tvd)
 
-        init = (params, opt_state, jnp.asarray(jnp.inf, jnp.float32),
-                jnp.asarray(0, jnp.int32), params)
-        (p, st, bt, be, bp), (losses, tvds) = jax.lax.scan(
-            step, init, jnp.arange(num_epochs, dtype=jnp.int32))
-        return bp, bt, be, losses, tvds
+        return jax.lax.scan(step, carry, epochs)
 
-    runner = jax.jit(run) if jit else run
+    # Strong-typed carry scalars: a weak-typed scalar changes aval after the
+    # first chunk and forces a full chunk-program recompile (WORKLOG r3).
+    init = (params, optimizer.init(params), jnp.asarray(jnp.inf, jnp.float32),
+            jnp.asarray(0, jnp.int32), params)
     with highest_matmul_precision():
-        best_params, bt, be, losses, tvds = runner(params, target)
-        force_fetch(losses)
+        if chunk_epochs and jit:
+            # One jitted chunk program, reused across chunks; the target
+            # vector rides through the jit boundary as an operand (closure
+            # capture would embed a 2^n HLO constant).
+            scan_chunk = jax.jit(_scan_epochs)
+            carry, parts = init, []
+            for s in range(0, num_epochs, chunk_epochs):
+                epochs = jnp.arange(s, min(s + chunk_epochs, num_epochs),
+                                    dtype=jnp.int32)
+                carry, o = scan_chunk(carry, epochs, target)
+                # Sync: bounded-runtime backends kill overlapping programs.
+                force_fetch(o[0])
+                parts.append(o)
+            losses = jnp.concatenate([p[0] for p in parts])
+            tvds = jnp.concatenate([p[1] for p in parts])
+            _, _, bt, be, best_params = carry
+        else:
+            run = (jax.jit(_scan_epochs) if jit else _scan_epochs)
+            (_, _, bt, be, best_params), (losses, tvds) = run(
+                init, jnp.arange(num_epochs, dtype=jnp.int32), target)
+            force_fetch(losses)
     history = {
         "loss": np.asarray(losses),
         "tvd": np.asarray(tvds),

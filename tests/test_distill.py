@@ -74,3 +74,21 @@ def test_distill_warm_start_into_ksd():
     h = engine.train({"V4": 1}, num_epochs=200, lr_born_machine=0.05,
                      verbose=False, true_posterior_for_tvd=post_dict)
     assert engine.best_tvd_ < 0.5 * np.abs(prod - np.asarray(target)).sum() + 1e-6
+
+
+def test_distill_chunked_bit_identical():
+    """chunk_epochs splits the fit into bounded programs with identical
+    results (same guarantee the VI engines' chunked mode provides)."""
+    _, _, target = _target(seed=4)
+    bm = QuantumBornMachine(num_latent_vars=4, ansatz_layers=2, backend="einsum")
+    p_one, h_one = fit_born_machine(bm, target, num_epochs=120, lr=0.05)
+    p_chk, h_chk = fit_born_machine(bm, target, num_epochs=120, lr=0.05,
+                                    chunk_epochs=50)  # uneven final chunk
+    np.testing.assert_array_equal(np.asarray(h_one["loss"]),
+                                  np.asarray(h_chk["loss"]))
+    np.testing.assert_array_equal(np.asarray(h_one["tvd"]),
+                                  np.asarray(h_chk["tvd"]))
+    assert h_one["best_epoch"] == h_chk["best_epoch"]
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                            np.asarray(b)),
+                 p_one, p_chk)

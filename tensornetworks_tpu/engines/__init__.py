@@ -1,6 +1,6 @@
 from .advi import AdversarialVariationalInference
 from .amortized import AmortizedKSD, train_multi_seed
-from .distill import fit_born_machine
+from .distill import fit_born_machine, marginals_product
 from .distributed import (DistributedQuantumKSDVariationalInference,
                           DistributedSteinOperator)
 from .ksd import KSDVariationalInference, QuantumKSDVariationalInference
@@ -17,6 +17,7 @@ __all__ = [
     "SampledKSDVariationalInference",
     "cosine_lr_schedule",
     "fit_born_machine",
+    "marginals_product",
     "make_optimizer",
     "train_multi_seed",
 ]

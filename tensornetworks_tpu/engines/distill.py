@@ -29,6 +29,23 @@ from .common import (force_fetch, guarded_update, highest_matmul_precision,
                      make_optimizer, tree_select)
 
 
+def marginals_product(probs, num_vars: int) -> np.ndarray:
+    """Product of single-variable marginals of a ``2^n`` distribution.
+
+    The cheap mean-field surrogate used for warm starts (RESULTS.md "warm
+    starts": 2x better final HE TVD at 16q): captures every first-order
+    marginal exactly while being representable by even shallow circuits.
+    Host-side numpy (f64) — one pass per variable over the table.
+    """
+    p = np.asarray(probs, dtype=np.float64).reshape((2,) * num_vars)
+    out = np.ones((), dtype=np.float64)
+    for i in range(num_vars):
+        m = p.sum(axis=tuple(j for j in range(num_vars) if j != i))
+        out = np.multiply.outer(out, m)
+    flat = out.reshape(-1)
+    return flat / flat.sum()
+
+
 def _loss(kind: str, q: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     if kind == "tvd":
         return 0.5 * jnp.abs(q - target).sum()

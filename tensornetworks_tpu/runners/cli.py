@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "loo is exactly unbiased (default)")
     s.add_argument("--checkpoint", type=str, default=None,
                    help="Orbax checkpoint path written after training")
+    s.add_argument("--warm-start", type=str, default=None,
+                   choices=["marginals"],
+                   help="distill toward the posterior-marginals product "
+                        "before KSD training (ksd objective only)")
+    s.add_argument("--warm-start-epochs", type=int, default=2000)
     s.add_argument("--mesh", type=int, default=None,
                    help="shard the 2^n state over this many devices "
                         "(distributed KSD engine; ksd objective only)")
@@ -166,6 +171,8 @@ def main(argv=None):
                                     grad_method=args.grad_method,
                                     grad_baseline=args.grad_baseline,
                                     checkpoint_path=args.checkpoint,
+                                    warm_start=args.warm_start,
+                                    warm_start_epochs=args.warm_start_epochs,
                                     track_tvd={"auto": None, "on": True,
                                                "off": False}[args.track_tvd])
     if args.command == "amortized":

@@ -38,11 +38,18 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
                          num_samples: int = 1024,
                          checkpoint_path: Optional[str] = None,
                          grad_method: str = "auto",
-                         grad_baseline: str = "loo"):
+                         grad_baseline: str = "loo",
+                         warm_start: Optional[str] = None,
+                         warm_start_epochs: int = 2000):
     """``chunk_epochs``/``resume_state_path``/``temper_betas``/``backend``
     plumb straight into the quantum KSD engine (see
     ``QuantumKSDVariationalInference.train``); ``num_samples`` applies to
-    ``objective='sampled-ksd'`` only."""
+    ``objective='sampled-ksd'`` only.
+
+    ``warm_start='marginals'`` (ksd objective only): before KSD training,
+    distill the Born machine toward the product of exact posterior marginals
+    (``engines.marginals_product`` + ``fit_born_machine``) and start from the
+    fitted parameters — the reference has no warm-start mechanism at all."""
     bn, latent, observed = make_scale_problem(num_qubits, seed)
     # Exact posterior tracking is cheap up to ~20 vars (dense 2^n vector).
     if track_tvd is None:
@@ -55,6 +62,24 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
             qbm_ansatz_layers=layers, qbm_ansatz_type=ansatz,
             qbm_init_method="small_random", seed=seed, qbm_backend=backend,
         )
+        if warm_start is not None:
+            if warm_start != "marginals":
+                raise ValueError(f"unknown warm_start {warm_start!r}; "
+                                 "expected 'marginals'")
+            from ..engines import fit_born_machine, marginals_product
+
+            target = (posterior if posterior is not None
+                      else bn.posterior_vector(latent, observed))
+            surrogate = marginals_product(target, num_qubits)
+            t0 = time.perf_counter()
+            warm_params, wh = fit_born_machine(
+                model.born_machine, surrogate,
+                num_epochs=warm_start_epochs, lr=0.05,
+                chunk_epochs=chunk_epochs, seed=seed)
+            model.params = warm_params
+            if verbose:
+                print(f"warm start: TVD(model, marginals surrogate) = "
+                      f"{wh['best_tvd']:.4f} in {time.perf_counter()-t0:.0f}s")
         history = model.train(observed, num_epochs=num_epochs, lr_born_machine=lr,
                               verbose=verbose, true_posterior_for_tvd=posterior,
                               gradient_clip_norm=10.0,

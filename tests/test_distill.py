@@ -92,3 +92,22 @@ def test_distill_chunked_bit_identical():
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                             np.asarray(b)),
                  p_one, p_chk)
+
+
+def test_marginals_product_matches_handrolled():
+    from tensornetworks_tpu.engines import marginals_product
+    _, _, target = _target(seed=5)
+    t = np.asarray(target)
+    # Independent hand-rolled construction (as in the warm-start test above).
+    marg = t.reshape((2,) * 4)
+    prod = np.ones(())
+    for i in range(4):
+        axes = tuple(j for j in range(4) if j != i)
+        prod = np.multiply.outer(prod, marg.sum(axis=axes))
+    np.testing.assert_allclose(marginals_product(t, 4), prod.reshape(-1),
+                               rtol=1e-12)
+    # A product distribution is its own mean-field surrogate.
+    p1 = np.array([0.3, 0.7])
+    p2 = np.array([0.9, 0.1])
+    prod2 = np.multiply.outer(p1, p2).reshape(-1)
+    np.testing.assert_allclose(marginals_product(prod2, 2), prod2, rtol=1e-12)

@@ -98,3 +98,14 @@ def test_cli_scale_sampled_grad_method():
                 "--epochs", "30", "--num-samples", "128",
                 "--grad-method", "adjoint"])
     assert out["model"].born_machine.grad_method == "adjoint"
+
+
+def test_cli_scale_warm_start_marginals():
+    out = main(["scale", "--qubits", "5", "--ansatz", "bn_structured",
+                "--layers", "3", "--epochs", "40",
+                "--warm-start", "marginals", "--warm-start-epochs", "200"])
+    # The warm start must leave the engine at a sane, finite state and the
+    # run must finish with a tracked TVD no worse than a cold surrogate miss.
+    best = out["model"].best_tvd_
+    assert np.isfinite(best)
+    assert best < 0.5

@@ -5,9 +5,11 @@ Cold-start KSD training of a hardware-efficient circuit stalls at large n
 scale"). The fix shipped in this framework: pretrain the circuit on a cheap
 surrogate with ``fit_born_machine`` and hand the params to the engine.
 
-The surrogate here is the product of posterior *marginals* — computable in
-O(n·2^n) from the same conditional joint table the Stein score needs, so it
-adds no new oracle requirements. Measured on one TPU v5e chip: cold-start
+The surrogate here is the product of posterior *marginals*
+(``engines.marginals_product``) — computable in O(n·2^n) from the same
+conditional joint table the Stein score needs, so it adds no new oracle
+requirements. One CLI line does the whole workflow:
+``tntpu scale --qubits 16 --warm-start marginals ...``. Measured on one TPU v5e chip: cold-start
 best TVD ≈ 0.82; with this marginals warm start ≈ 0.42 (2× better); with a
 stronger surrogate the same mechanism reaches ≈ 0.19 (the posterior-fit
 upper bound in RESULTS.md).
@@ -19,17 +21,7 @@ import numpy as np
 
 from tensornetworks_tpu import (
     QuantumKSDVariationalInference, get_random_chain_network)
-from tensornetworks_tpu.engines import fit_born_machine
-
-
-def product_of_marginals(posterior: np.ndarray, n: int) -> np.ndarray:
-    """∏_i p(z_i | x) from the dense posterior vector."""
-    grid = np.asarray(posterior, dtype=np.float64).reshape((2,) * n)
-    prod = np.ones(())
-    for i in range(n):
-        marg = grid.sum(axis=tuple(j for j in range(n) if j != i))
-        prod = np.multiply.outer(prod, marg)
-    return prod.reshape(-1)
+from tensornetworks_tpu.engines import fit_born_machine, marginals_product
 
 
 def main():
@@ -46,7 +38,7 @@ def main():
 
     # 1) Pretrain the circuit toward the product of marginals (or any cheap
     #    surrogate — forward samples, a mean-field fit, a smaller model...).
-    surrogate = product_of_marginals(posterior, n)
+    surrogate = marginals_product(posterior, n)
     warm, hist = fit_born_machine(model.born_machine, surrogate,
                                   num_epochs=2000, lr=0.05)
     print(f"warm start: TVD(model, surrogate) = {hist['best_tvd']:.4f}")

@@ -9,7 +9,7 @@ the diagnostic that attributed the 16q plateau in round 1 (RESULTS.md,
 
 Runs chunked (the tunneled backend kills >~2-min device programs).
 
-Usage: python scripts/probe_distill24.py [n] [layers] [epochs] [chunk] [lr]
+Usage: python scripts/probe_distill24.py [n] [layers] [epochs] [chunk] [lr] [remat]
 """
 import os
 import sys
@@ -29,6 +29,10 @@ def main():
     # crash); 150 runs ~45 s/chunk.
     chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 150
     lr = float(sys.argv[5]) if len(sys.argv) > 5 else 0.05
+    # Distill runs TWO forwards + a backward per epoch (the engines reuse
+    # the loss forward); at n=24 the un-remat backward crashed the worker
+    # where n<=22 ran fine — per-layer remat trades FLOPs for live set.
+    remat = bool(int(sys.argv[6])) if len(sys.argv) > 6 else (n >= 24)
 
     from tensornetworks_tpu.core import get_random_chain_network
     from tensornetworks_tpu.engines import fit_born_machine
@@ -43,7 +47,8 @@ def main():
     bm = QuantumBornMachine(num_latent_vars=n, ansatz_layers=layers,
                             ansatz_type="bn_structured",
                             init_method="small_random",
-                            edges=latent_edges(bn, latent))
+                            edges=latent_edges(bn, latent),
+                            remat_layers=remat)
     t0 = time.perf_counter()
     params, hist = fit_born_machine(bm, post, num_epochs=epochs, lr=lr,
                                     chunk_epochs=chunk, seed=0)

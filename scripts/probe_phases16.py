@@ -4,7 +4,7 @@ Phase 1 alone plateaus at 0.0267 (48k epochs); phase 2 at lr/10 reached
 0.0215 (probe_finetune16). This probe extends to a third phase and a
 marginals warm-started variant.
 
-Usage: python scripts/probe_phases16.py [n] [seed]
+Usage: python scripts/probe_phases16.py [n] [seed] [with_warm]
 """
 import os
 import sys
@@ -31,6 +31,7 @@ def run_phases(eng, observed, post, phases, chunk=1500, label=""):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    with_warm = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
 
     from tensornetworks_tpu.core import get_random_chain_network
     from tensornetworks_tpu.engines import (
@@ -52,7 +53,11 @@ def main():
                       [(48000, 0.05), (24000, 0.005), (24000, 0.001)],
                       label="cold")
 
-    # B) marginals warm start, then the same 3 phases.
+    # B) marginals warm start, then the same 3 phases (measured NEGATIVE for
+    # bn_structured at 16q — kept selectable for other ansatz families).
+    if not with_warm:
+        print(f"RESULT n={n} seed={seed} cold={['%.4f' % b for b in cold]}")
+        return
     eng2 = make_engine()
     warm, wh = fit_born_machine(eng2.born_machine, marginals_product(post, n),
                                 num_epochs=2000, lr=0.05, chunk_epochs=1500,

@@ -90,7 +90,7 @@ class QuantumBornMachine:
                 self._blocked_probs = make_structured_probs_fn_flat(
                     num_latent_vars, ansatz_layers, self.edges, block=block,
                     dtype=dtype, conditioning=conditioning_dim > 0,
-                    reupload=cond_reupload)
+                    reupload=cond_reupload, remat_layers=remat_layers)
                 self.backend = "structured_flat"
             else:
                 # Production path (round 3): GF(2)-block-composed executor —
@@ -107,14 +107,14 @@ class QuantumBornMachine:
                         num_latent_vars, ansatz_layers, self.edges,
                         block=block, dtype=dtype,
                         conditioning=conditioning_dim > 0,
-                        reupload=cond_reupload)
+                        reupload=cond_reupload, remat_layers=remat_layers)
                     self.backend = "structured"
                 except ValueError:
                     self._blocked_probs = make_structured_probs_fn_flat(
                         num_latent_vars, ansatz_layers, self.edges,
                         block=block, dtype=dtype,
                         conditioning=conditioning_dim > 0,
-                        reupload=cond_reupload)
+                        reupload=cond_reupload, remat_layers=remat_layers)
                     self.backend = "structured_flat"
             self._blocked_state = None
             return

@@ -28,6 +28,7 @@ Two executors:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -44,7 +45,8 @@ def make_structured_probs_fn_flat(num_wires: int, layers: int,
                                   edges: Sequence[Tuple[int, int]],
                                   block: int = 8, dtype=jnp.complex64,
                                   conditioning: bool = False,
-                                  reupload: bool = False):
+                                  reupload: bool = False,
+                                  remat_layers: bool = False):
     """Flat-state (blocked-executor) evaluation of the DAG-structured ansatz
     — the production TPU path.
 
@@ -165,15 +167,14 @@ def make_structured_probs_fn_flat(num_wires: int, layers: int,
             if not reupload:
                 for (s, bs), M in zip(blocks, emb):
                     state = apply_adjacent_block(state, M, s, bs, n)
-        cz = _cz_diag_device(n, edges) if has_edges else None
-        for l in range(layers):
-            if reupload and not fold_embed:
-                for (s, bs), M in zip(blocks, emb):
+        def layer_body(l, state, Ms, emb_t):
+            if emb_t:
+                for (s, bs), M in zip(blocks, emb_t):
                     state = apply_adjacent_block(state, M, s, bs, n)
-            for i, (s, bs) in enumerate(blocks):
-                state = apply_adjacent_block(state, mats[i][l], s, bs, n)
+            for (s, bs), M in zip(blocks, Ms):
+                state = apply_adjacent_block(state, M, s, bs, n)
             if not has_edges:
-                continue
+                return state
             if l % 2 == 0:
                 for step in plan:
                     if step[0] == "perm":
@@ -190,7 +191,16 @@ def make_structured_probs_fn_flat(num_wires: int, layers: int,
                         m = control_mask(c)
                         state = state + m * (flipped - state)
             else:
-                state = state * cz
+                state = state * _cz_diag_device(n, edges)
+            return state
+
+        for l in range(layers):
+            Ms = [mats[i][l] for i in range(len(blocks))]
+            emb_t = tuple(emb) if (reupload and not fold_embed) else ()
+            if remat_layers:
+                state = jax.checkpoint(partial(layer_body, l))(state, Ms, emb_t)
+            else:
+                state = layer_body(l, state, Ms, emb_t)
         return jnp.real(state * jnp.conj(state))
 
     if conditioning:
@@ -561,7 +571,8 @@ def make_structured_probs_fn_blockcomposed(num_wires: int, layers: int,
                                            block: int = 8, dtype=jnp.complex64,
                                            conditioning: bool = False,
                                            rb: int = None,
-                                           reupload: bool = False):
+                                           reupload: bool = False,
+                                           remat_layers: bool = False):
     """Blocked + GF(2)-composed structured-ansatz executor (round-3
     production path): rotations ride the flat executor's per-block matmuls
     unchanged, and the whole even-layer CNOT sequence collapses to (a) free
@@ -641,18 +652,14 @@ def make_structured_probs_fn_blockcomposed(num_wires: int, layers: int,
                 else:
                     idx, inv = plan.gathers[i]
                     matsE.append(_perm_gather(mats[i][::2], idx, inv, 1))
-            cz = _cz_diag_device(n, edges)
-        ei = 0
-        for l in range(layers):
-            if reupload and not fold_embed:
-                for (s, bs), M in zip(blocks, emb):
+
+        def layer_body(entangle, state, Ms, emb_t):
+            if emb_t:
+                for (s, bs), M in zip(blocks, emb_t):
                     state = apply_adjacent_block(state, M, s, bs, n)
-            entangle = has_edges and l % 2 == 0
-            for i, (s, bs) in enumerate(blocks):
-                M = matsE[i][ei] if entangle else mats[i][l]
+            for (s, bs), M in zip(blocks, Ms):
                 state = apply_adjacent_block(state, M, s, bs, n)
             if entangle:
-                ei += 1
                 if plan.has_flips:
                     # flips run with their reversed bits on the SUBLANE axis:
                     # column-bit targets in the transposed (C, R) orientation,
@@ -673,7 +680,28 @@ def make_structured_probs_fn_blockcomposed(num_wires: int, layers: int,
                         X = X.T
                     state = X.reshape(-1)
             elif has_edges:
-                state = state * cz
+                # Rebuilt per layer from iotas: XLA CSEs the copies within
+                # one program, and under jax.checkpoint the diagonal is
+                # recomputed in the backward instead of living as a residual.
+                state = state * _cz_diag_device(n, edges)
+            return state
+
+        ei = 0
+        for l in range(layers):
+            entangle = has_edges and l % 2 == 0
+            Ms = [matsE[i][ei] if entangle else mats[i][l]
+                  for i in range(len(blocks))]
+            emb_t = tuple(emb) if (reupload and not fold_embed) else ()
+            if remat_layers:
+                # Reverse-mode AD stores only layer-boundary states — the
+                # live set that crashes single-chip distill/backwards from
+                # n = 24 without remat (scripts/probe_distill24.py).
+                state = jax.checkpoint(partial(layer_body, entangle))(
+                    state, Ms, emb_t)
+            else:
+                state = layer_body(entangle, state, Ms, emb_t)
+            if entangle:
+                ei += 1
         return jnp.real(state * jnp.conj(state))
 
     if conditioning:

@@ -109,3 +109,20 @@ def test_cli_scale_warm_start_marginals():
     best = out["model"].best_tvd_
     assert np.isfinite(best)
     assert best < 0.5
+
+
+def test_cli_scale_lr_phases():
+    """LR-annealed warm restarts: phases chain from best snapshots and the
+    model ends restored at the across-phase best."""
+    out = main(["scale", "--qubits", "5", "--ansatz", "bn_structured",
+                "--layers", "3", "--lr-phases", "60:0.05,40:0.005"])
+    eng = out["model"]
+    assert np.isfinite(eng.best_tvd_)
+    # Restored params must reproduce the reported across-phase best TVD.
+    import jax.numpy as jnp
+    from tensornetworks_tpu.core import get_random_chain_network
+    bn = get_random_chain_network(6, seed=0)
+    post = bn.posterior_vector([f"V{i}" for i in range(5)], {"V5": 1})
+    q = np.asarray(eng.born_machine.probs(eng.params))
+    tvd = 0.5 * np.abs(q - np.asarray(post)).sum()
+    np.testing.assert_allclose(tvd, eng.best_tvd_, atol=1e-5)

@@ -312,3 +312,34 @@ def test_qbm_cond_reupload_plumbs_and_validates():
     with pytest.raises(ValueError, match="cond_reupload"):
         QuantumBornMachine(3, 2, ansatz_type="bn_structured", edges=edges,
                            cond_reupload=True)
+
+
+@pytest.mark.parametrize("factory_name", ["blockcomposed", "flat"])
+def test_structured_remat_layers_bit_identical(factory_name):
+    """remat_layers=True must change memory behavior only: probs AND grads
+    identical to the plain executors (same contractions, re-run in the
+    backward instead of stored)."""
+    from tensornetworks_tpu.sim.structured import (
+        make_structured_probs_fn_blockcomposed, make_structured_probs_fn_flat)
+
+    factory = {"blockcomposed": make_structured_probs_fn_blockcomposed,
+               "flat": make_structured_probs_fn_flat}[factory_name]
+    n, L = 9, 4
+    edges = [(0, 1), (1, 5), (2, 7), (6, 8), (0, 8)]
+    rng = np.random.default_rng(7)
+    p = jnp.asarray(0.1 * rng.normal(size=3 * L * n), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=2**n), dtype=jnp.float32)
+    plain = factory(n, L, edges)
+    remat = factory(n, L, edges, remat_layers=True)
+    np.testing.assert_array_equal(np.asarray(jax.jit(plain)(p)),
+                                  np.asarray(jax.jit(remat)(p)))
+    g1 = jax.jit(jax.grad(lambda q: plain(q).astype(jnp.float32) @ v))(p)
+    g2 = jax.jit(jax.grad(lambda q: remat(q).astype(jnp.float32) @ v))(p)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+    # conditioned + reupload variant (embed wall inside each layer body)
+    cond_plain = factory(n, L, edges, conditioning=True, reupload=True)
+    cond_remat = factory(n, L, edges, conditioning=True, reupload=True,
+                         remat_layers=True)
+    ang = jnp.asarray(rng.normal(size=n), dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(jax.jit(cond_plain)(p, ang)),
+                                  np.asarray(jax.jit(cond_remat)(p, ang)))

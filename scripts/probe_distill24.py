@@ -24,10 +24,11 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     layers = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 3000
-    # Distill epochs cost ~2x a KSD fwd+grad (extra post-update eval pass):
-    # chunk 400 exceeded the tunnel's ~2-min program kill at n=24 (worker
-    # crash); 150 runs ~45 s/chunk.
-    chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 150
+    # Even at 150 epochs/chunk the pre-eval-reuse distill epoch blew the
+    # tunnel's ~2-min program kill at n=24 (two worker crashes); with the
+    # engines' eval-forward-reuse convention (one circuit pass/epoch) and
+    # chunk 75 each chunk stays well under the bound.
+    chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 75
     lr = float(sys.argv[5]) if len(sys.argv) > 5 else 0.05
     # Distill runs TWO forwards + a backward per epoch (the engines reuse
     # the loss forward); at n=24 the un-remat backward crashed the worker

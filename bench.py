@@ -91,6 +91,12 @@ def measure_quality_path():
     Returns steady-state engine epochs/sec (post-compile chunks) and the
     best TVD actually reached, so "faster at matched final TVD"
     (BASELINE.json north_star) is demonstrated by this one artifact.
+
+    Round 3: the configuration is the LR-annealed warm-restart schedule
+    (48k @ 0.05 → 24k @ 0.005 → 24k @ 0.001, each phase restarting the
+    cosine schedule from the previous best snapshot — RESULTS.md), which
+    reaches best TVD ≈ 0.020: the reference's own best measured quality
+    class (0.0193 at n=3, BASELINE.md) at 2^16 states.
     """
     from tensornetworks_tpu.core import get_random_chain_network
     from tensornetworks_tpu.engines.ksd import QuantumKSDVariationalInference
@@ -103,16 +109,22 @@ def measure_quality_path():
     eng = QuantumKSDVariationalInference(
         bn, latent, list(observed), qbm_num_latent_vars=n,
         qbm_ansatz_layers=8, qbm_ansatz_type="bn_structured", seed=0)
-    h = eng.train(observed, num_epochs=6000, lr_born_machine=0.05,
-                  verbose=False, true_posterior_for_tvd=post,
-                  chunk_epochs=1500)
+    phases = [(48000, 0.05), (24000, 0.005), (24000, 0.001)]
+    best_tvd, steady = np.inf, None
+    for p_epochs, p_lr in phases:
+        h = eng.train(observed, num_epochs=p_epochs, lr_born_machine=p_lr,
+                      verbose=False, true_posterior_for_tvd=post,
+                      chunk_epochs=1500)
+        best_tvd = min(best_tvd, eng.best_tvd_)
+        if steady is None:  # throughput from the long first phase
+            steady = h.get("epochs_per_sec_steady", h["epochs_per_sec"])
     return {
         "ansatz": "bn_structured",
         "num_qubits": n,
-        "epochs": 6000,
-        "epochs_per_sec": round(h.get("epochs_per_sec_steady",
-                                      h["epochs_per_sec"]), 1),
-        "final_tvd": round(eng.best_tvd_, 4),
+        "epochs": sum(e for e, _ in phases),
+        "lr_phases": [list(p) for p in phases],
+        "epochs_per_sec": round(steady, 1),
+        "final_tvd": round(best_tvd, 4),
         "backend": eng.born_machine.backend,
     }
 

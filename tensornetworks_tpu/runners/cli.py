@@ -162,7 +162,10 @@ def main(argv=None):
                 num_qubits=args.qubits, layers=args.layers,
                 num_epochs=args.epochs, lr=args.lr, seed=args.seed,
                 ansatz=args.ansatz, num_devices=args.mesh,
-                chunk_epochs=args.chunk_epochs)
+                chunk_epochs=args.chunk_epochs,
+                lr_phases=([tuple(map(float, p.split(":")))
+                            for p in args.lr_phases.split(",")]
+                           if args.lr_phases else None))
         from .scale import run_scale_experiment
 
         return run_scale_experiment(num_qubits=args.qubits, layers=args.layers,

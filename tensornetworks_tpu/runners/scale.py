@@ -109,7 +109,7 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
             if posterior is not None and model.best_tvd_ < best_tvd:
                 best_tvd, best_params = model.best_tvd_, model.best_params_
             if verbose and len(phases) > 1:
-                print(f"phase ({p_epochs} epochs @ lr {p_lr}): "
+                print(f"phase ({int(p_epochs)} epochs @ lr {p_lr}): "
                       f"best TVD {model.best_tvd_:.6f}")
         if best_params is not None:
             model.params = best_params

@@ -23,7 +23,11 @@ def run_distributed_scale_experiment(num_qubits: int = 8, layers: int = 4,
                                      num_devices: Optional[int] = None,
                                      chunk_epochs: Optional[int] = None,
                                      verbose: bool = True,
-                                     track_tvd: Optional[bool] = None):
+                                     track_tvd: Optional[bool] = None,
+                                     lr_phases=None):
+    """``lr_phases``: LR-annealed warm restarts, same semantics as the
+    single-chip runner (each phase restarts the cosine schedule from the
+    previous best snapshot; across-phase best restored)."""
     bn, latent, observed = make_scale_problem(num_qubits, seed)
     if track_tvd is None:
         track_tvd = num_qubits <= 20
@@ -36,9 +40,22 @@ def run_distributed_scale_experiment(num_qubits: int = 8, layers: int = 4,
     if verbose:
         print(f"mesh: {model.mesh.devices.size} devices, "
               f"per-device state = 2^{num_qubits}/{model.mesh.shape['state']}")
-    history = model.train(observed, num_epochs=num_epochs, lr_born_machine=lr,
-                          verbose=verbose, true_posterior_for_tvd=posterior,
-                          gradient_clip_norm=10.0, chunk_epochs=chunk_epochs)
+    phases = list(lr_phases) if lr_phases else [(num_epochs, lr)]
+    best_tvd, best_params = np.inf, None
+    for p_epochs, p_lr in phases:
+        history = model.train(observed, num_epochs=int(p_epochs),
+                              lr_born_machine=float(p_lr),
+                              verbose=verbose, true_posterior_for_tvd=posterior,
+                              gradient_clip_norm=10.0, chunk_epochs=chunk_epochs)
+        if posterior is not None and model.best_tvd_ < best_tvd:
+            best_tvd, best_params = model.best_tvd_, model.best_params_
+        if verbose and len(phases) > 1:
+            print(f"phase ({int(p_epochs)} epochs @ lr {p_lr}): "
+                  f"best TVD {model.best_tvd_:.6f}")
+    if best_params is not None:
+        model.params = best_params
+        model.best_params_ = best_params
+        model.best_tvd_ = best_tvd
     if verbose and track_tvd:
         tvds = np.asarray(history["tvd"], dtype=float)
         finite = tvds[np.isfinite(tvds)]

@@ -197,3 +197,21 @@ def test_distributed_engine_20q_memory_sharded():
     h = model.train(observed, num_epochs=2, lr_born_machine=1e-2,
                     verbose=False, true_posterior_for_tvd=None)
     assert np.isfinite(np.asarray(h["loss_ksd"])).all()
+
+
+def test_distributed_runner_lr_phases():
+    """The distributed scale runner chains LR-annealed restarts over the
+    mesh and restores the across-phase best (CLI: --mesh D --lr-phases)."""
+    from tensornetworks_tpu.runners.scale_distributed import (
+        run_distributed_scale_experiment)
+
+    out = run_distributed_scale_experiment(
+        num_qubits=5, layers=2, num_devices=4, verbose=False,
+        ansatz="bn_structured", lr_phases=[(40, 0.05), (30, 0.005)])
+    eng = out["model"]
+    assert np.isfinite(eng.best_tvd_)
+    q = np.asarray(eng._probs(eng.params))
+    bn, latent, observed = _problem(5)
+    post = bn.posterior_vector(latent, observed)
+    tvd = 0.5 * np.abs(q - np.asarray(post)).sum()
+    np.testing.assert_allclose(tvd, eng.best_tvd_, atol=1e-5)

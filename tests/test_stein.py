@@ -396,3 +396,28 @@ def test_operator_gcorr_path_keeps_s_and_b_lazy():
     # Explicit access still materializes them (fallback + distributed paths).
     assert op.S.shape == (2**n, n) and op.B.shape == (2**n, n)
     assert op._S is not None and op._B is not None
+
+
+def test_operator_nondefault_length_scale_matches_brute_force():
+    """Every operator path (dense Gram, gcorr tables matvec, quadform-from-
+    tables) must honor base kernel length scales != 1 — the sweep lever for
+    large-n quality (scripts/probe_lengthscale16.py). Tests elsewhere only
+    exercise the default."""
+    import jax.numpy as jnp
+    from tensornetworks_tpu.ops.stein import SteinOperator, stein_gram_dense
+
+    n = 6
+    rng = np.random.default_rng(11)
+    S = rng.normal(size=(2**n, n))
+    q = jnp.asarray(rng.dirichlet(np.ones(2**n)), dtype=jnp.float64)
+    for ls in (0.25, 0.5, 2.0, 4.0):
+        Kp = brute_force_stein_gram(S, n, length_scale=ls)
+        ref = float(np.asarray(q) @ Kp @ np.asarray(q))
+        dense = SteinOperator(S, n, length_scale=ls, dense=True,
+                              dtype=jnp.float64)
+        np.testing.assert_allclose(float(dense.quadform(q)), ref, rtol=1e-9)
+        op = SteinOperator(S, n, length_scale=ls, dense=False,
+                           dtype=jnp.float64)
+        np.testing.assert_allclose(float(op.quadform(q)), ref, rtol=1e-9)
+        np.testing.assert_allclose(float(op.quadform_from(q, *op.args())),
+                                   ref, rtol=1e-9)

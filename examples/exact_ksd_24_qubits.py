@@ -11,6 +11,11 @@ Equivalent CLI line:
     tntpu scale --qubits 24 --layers 8 --ansatz bn_structured \
         --epochs 3000 --lr 0.05 --chunk-epochs 100 --track-tvd on
 
+Best measured 24q quality: LR-annealed warm restarts
+(``--lr-phases 3000:0.05,1500:0.005,1500:0.001``) reach best TVD 0.1059 in
+49 min (single-phase saturates at ~0.125; the direct-fit expressivity bound
+is 0.0383 — RESULTS.md).
+
 Run: python examples/exact_ksd_24_qubits.py   (~20 min on a v5e chip,
 most of it the one-time chunk-program compile)
 """

@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="distill toward the posterior-marginals product "
                         "before KSD training (ksd objective only)")
     s.add_argument("--warm-start-epochs", type=int, default=2000)
+    s.add_argument("--length-scale", type=float, default=1.0,
+                   help="Hamming base-kernel length scale l in "
+                        "exp(-d/(n*l)). The reference default 1.0 was set "
+                        "at n=3; sharper kernels measurably improve "
+                        "large-n quality (RESULTS.md bandwidth sweep)")
     s.add_argument("--lr-phases", type=str, default=None,
                    help="LR-annealed warm restarts: comma-separated "
                         "epochs:lr pairs, e.g. 48000:0.05,24000:0.005,"
@@ -181,6 +186,7 @@ def main(argv=None):
                                     checkpoint_path=args.checkpoint,
                                     warm_start=args.warm_start,
                                     warm_start_epochs=args.warm_start_epochs,
+                                    length_scale=args.length_scale,
                                     lr_phases=([tuple(map(float, p.split(":")))
                                                 for p in args.lr_phases.split(",")]
                                                if args.lr_phases else None),

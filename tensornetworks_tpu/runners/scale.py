@@ -41,7 +41,8 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
                          grad_baseline: str = "loo",
                          warm_start: Optional[str] = None,
                          warm_start_epochs: int = 2000,
-                         lr_phases=None):
+                         lr_phases=None,
+                         length_scale: float = 1.0):
     """``chunk_epochs``/``resume_state_path``/``temper_betas``/``backend``
     plumb straight into the quantum KSD engine (see
     ``QuantumKSDVariationalInference.train``); ``num_samples`` applies to
@@ -72,6 +73,7 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
             bn, latent, list(observed.keys()), qbm_num_latent_vars=num_qubits,
             qbm_ansatz_layers=layers, qbm_ansatz_type=ansatz,
             qbm_init_method="small_random", seed=seed, qbm_backend=backend,
+            base_kernel_length_scale=length_scale,
         )
         if warm_start is not None:
             if warm_start != "marginals":

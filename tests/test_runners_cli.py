@@ -126,3 +126,10 @@ def test_cli_scale_lr_phases():
     q = np.asarray(eng.born_machine.probs(eng.params))
     tvd = 0.5 * np.abs(q - np.asarray(post)).sum()
     np.testing.assert_allclose(tvd, eng.best_tvd_, atol=1e-5)
+
+
+def test_cli_scale_length_scale():
+    out = main(["scale", "--qubits", "4", "--ansatz", "bn_structured",
+                "--layers", "2", "--epochs", "30", "--length-scale", "0.5"])
+    assert out["model"].base_kernel_length_scale == 0.5
+    assert np.isfinite(out["model"].best_tvd_)

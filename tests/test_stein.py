@@ -410,7 +410,7 @@ def test_operator_nondefault_length_scale_matches_brute_force():
     rng = np.random.default_rng(11)
     S = rng.normal(size=(2**n, n))
     q = jnp.asarray(rng.dirichlet(np.ones(2**n)), dtype=jnp.float64)
-    for ls in (0.25, 0.5, 2.0, 4.0):
+    for ls in (0.0625, 0.25, 0.5, 2.0, 4.0):
         Kp = brute_force_stein_gram(S, n, length_scale=ls)
         ref = float(np.asarray(q) @ Kp @ np.asarray(q))
         dense = SteinOperator(S, n, length_scale=ls, dense=True,

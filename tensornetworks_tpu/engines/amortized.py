@@ -31,6 +31,7 @@ from ..core.bayes_net import BayesianNetwork
 from ..core.bits import all_bitstrings
 from ..models.born_classical import ClassicalBornMachine
 from ..models.born_quantum import QuantumBornMachine
+from ..ops.hamming import resolve_length_scale
 from ..ops.stein import score_table, stein_gram_dense, stein_matvec
 from .common import (force_fetch, global_norm, guarded_update, history_to_numpy,
                      make_optimizer)
@@ -51,7 +52,8 @@ class AmortizedKSD:
         self.latent_vars_names = list(latent_vars_names)
         self.observed_vars_names = list(observed_vars_names)
         self.num_latent_vars = len(latent_vars_names)
-        self.length_scale = base_kernel_length_scale
+        self.length_scale = resolve_length_scale(
+            base_kernel_length_scale, self.num_latent_vars)
         self.dtype = dtype
         if born_machine is not None:
             self.born_machine = born_machine

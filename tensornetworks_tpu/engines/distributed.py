@@ -31,6 +31,7 @@ from jax.sharding import Mesh
 
 from ..core.bayes_net import BayesianNetwork
 from ..core.bits import generate_all_binary_outcomes
+from ..ops.hamming import resolve_length_scale
 from ..ops.stein import score_table
 from ..parallel.distributed_ansatz import make_distributed_ansatz_probs
 from ..parallel.distributed_train import (make_distributed_stein_quadform,
@@ -90,7 +91,8 @@ class DistributedQuantumKSDVariationalInference:
         self.latent_vars_names = list(latent_vars_names)
         self.observed_vars_names = list(observed_vars_names)
         self.num_latent_vars = qbm_num_latent_vars
-        self.base_kernel_length_scale = base_kernel_length_scale
+        self.base_kernel_length_scale = resolve_length_scale(
+            base_kernel_length_scale, qbm_num_latent_vars)
         self.dtype = dtype
         self.seed = seed
         self.ansatz_type = qbm_ansatz_type

@@ -41,6 +41,7 @@ from ..core.bits import generate_all_binary_outcomes
 from ..core.metrics import calculate_tvd
 from ..models.born_classical import ClassicalBornMachine
 from ..models.born_quantum import QuantumBornMachine
+from ..ops.hamming import resolve_length_scale
 from ..ops.stein import SteinOperator, score_table
 from .common import (force_fetch, global_norm, guarded_update, history_to_numpy,
                      make_optimizer, scan_logging_supported, tree_select)
@@ -418,7 +419,8 @@ class KSDVariationalInference:
         self.observed_vars_names = list(observed_vars_names)
         self.num_latent_vars = len(latent_vars_names)
         self.num_observed_vars = len(observed_vars_names)
-        self.base_kernel_length_scale = base_kernel_length_scale
+        self.base_kernel_length_scale = resolve_length_scale(
+            base_kernel_length_scale, self.num_latent_vars)
         self.dtype = dtype
         self.dense = dense
         self.seed = seed
@@ -627,7 +629,8 @@ class QuantumKSDVariationalInference:
         self.observed_vars_names = list(observed_vars_names)
         self.num_latent_vars = qbm_num_latent_vars
         self.num_observed_vars = len(observed_vars_names)
-        self.base_kernel_length_scale = base_kernel_length_scale
+        self.base_kernel_length_scale = resolve_length_scale(
+            base_kernel_length_scale, self.num_latent_vars)
         self.dtype = dtype
         self.dense = dense
         self.seed = seed

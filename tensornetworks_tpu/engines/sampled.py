@@ -47,6 +47,7 @@ import jax.numpy as jnp
 from ..core.bayes_net import BayesianNetwork
 from ..core.factors import make_latent_log_joint_fn
 from ..models.born_quantum import QuantumBornMachine
+from ..ops.hamming import resolve_length_scale
 from ..ops.stein_sampled import (reinforce_surrogate, score_at_samples,
                                  stein_gram_samples, ksd_ustat)
 from ..sim.sampling import gather_2d, sample_indices, sample_indices_2d
@@ -81,7 +82,8 @@ class SampledKSDVariationalInference:
         self.latent_vars_names = list(latent_vars_names)
         self.observed_vars_names = list(observed_vars_names)
         self.num_latent_vars = len(self.latent_vars_names)
-        self.length_scale = base_kernel_length_scale
+        self.length_scale = resolve_length_scale(
+            base_kernel_length_scale, self.num_latent_vars)
         self.num_samples = int(num_samples)
         self.seed = seed
         if qbm_ansatz_type == "bn_structured" and qbm_edges is None:

@@ -3,6 +3,7 @@ from .hamming import (
     decay_factor,
     hamming_distance,
     hamming_kernel_matrix,
+    resolve_length_scale,
 )
 from .kron import apply_adjacent_block, apply_to_wires, kron_matvec, kron_power_np
 from .stein import (
@@ -22,6 +23,7 @@ __all__ = [
     "decay_factor",
     "hamming_distance",
     "hamming_kernel_matrix",
+    "resolve_length_scale",
     "ksd_quadform",
     "kron_matvec",
     "kron_power_np",

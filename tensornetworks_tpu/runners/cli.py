@@ -87,11 +87,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="distill toward the posterior-marginals product "
                         "before KSD training (ksd objective only)")
     s.add_argument("--warm-start-epochs", type=int, default=2000)
-    s.add_argument("--length-scale", type=float, default=1.0,
+    s.add_argument("--length-scale",
+                   type=lambda v: v if v == "auto" else float(v),
+                   default=1.0,
                    help="Hamming base-kernel length scale l in "
-                        "exp(-d/(n*l)). The reference default 1.0 was set "
-                        "at n=3; sharper kernels measurably improve "
-                        "large-n quality (RESULTS.md bandwidth sweep)")
+                        "exp(-d/(n*l)), or 'auto' for l=1/n (one kernel "
+                        "e-fold per bit — the measured large-n optimum). "
+                        "The reference default 1.0 was set at n=3; sharper "
+                        "kernels measurably improve large-n quality "
+                        "(RESULTS.md bandwidth sweep)")
     s.add_argument("--lr-phases", type=str, default=None,
                    help="LR-annealed warm restarts: comma-separated "
                         "epochs:lr pairs, e.g. 48000:0.05,24000:0.005,"
@@ -168,6 +172,7 @@ def main(argv=None):
                 num_epochs=args.epochs, lr=args.lr, seed=args.seed,
                 ansatz=args.ansatz, num_devices=args.mesh,
                 chunk_epochs=args.chunk_epochs,
+                length_scale=args.length_scale,
                 lr_phases=([tuple(map(float, p.split(":")))
                             for p in args.lr_phases.split(",")]
                            if args.lr_phases else None))

@@ -42,7 +42,7 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
                          warm_start: Optional[str] = None,
                          warm_start_epochs: int = 2000,
                          lr_phases=None,
-                         length_scale: float = 1.0):
+                         length_scale=1.0):
     """``chunk_epochs``/``resume_state_path``/``temper_betas``/``backend``
     plumb straight into the quantum KSD engine (see
     ``QuantumKSDVariationalInference.train``); ``num_samples`` applies to

@@ -24,7 +24,8 @@ def run_distributed_scale_experiment(num_qubits: int = 8, layers: int = 4,
                                      chunk_epochs: Optional[int] = None,
                                      verbose: bool = True,
                                      track_tvd: Optional[bool] = None,
-                                     lr_phases=None):
+                                     lr_phases=None,
+                                     length_scale=1.0):
     """``lr_phases``: LR-annealed warm restarts, same semantics as the
     single-chip runner (each phase restarts the cosine schedule from the
     previous best snapshot; across-phase best restored)."""
@@ -36,7 +37,8 @@ def run_distributed_scale_experiment(num_qubits: int = 8, layers: int = 4,
     model = DistributedQuantumKSDVariationalInference(
         bn, latent, list(observed.keys()), qbm_num_latent_vars=num_qubits,
         qbm_ansatz_layers=layers, qbm_ansatz_type=ansatz,
-        qbm_init_method="small_random", seed=seed, num_devices=num_devices)
+        qbm_init_method="small_random", seed=seed, num_devices=num_devices,
+        base_kernel_length_scale=length_scale)
     if verbose:
         print(f"mesh: {model.mesh.devices.size} devices, "
               f"per-device state = 2^{num_qubits}/{model.mesh.shape['state']}")

@@ -133,3 +133,12 @@ def test_cli_scale_length_scale():
                 "--layers", "2", "--epochs", "30", "--length-scale", "0.5"])
     assert out["model"].base_kernel_length_scale == 0.5
     assert np.isfinite(out["model"].best_tvd_)
+
+
+def test_cli_scale_length_scale_auto():
+    """'auto' resolves to l = 1/n (one kernel e-fold per flipped bit — the
+    measured large-n optimum, RESULTS.md bandwidth sweeps)."""
+    out = main(["scale", "--qubits", "4", "--ansatz", "bn_structured",
+                "--layers", "2", "--epochs", "30", "--length-scale", "auto"])
+    assert out["model"].base_kernel_length_scale == 0.25
+    assert np.isfinite(out["model"].best_tvd_)

@@ -421,3 +421,42 @@ def test_operator_nondefault_length_scale_matches_brute_force():
         np.testing.assert_allclose(float(op.quadform(q)), ref, rtol=1e-9)
         np.testing.assert_allclose(float(op.quadform_from(q, *op.args())),
                                    ref, rtol=1e-9)
+
+
+def test_resolve_length_scale():
+    from tensornetworks_tpu.ops import resolve_length_scale
+
+    assert resolve_length_scale("auto", 16) == 1.0 / 16
+    assert resolve_length_scale(0.5, 16) == 0.5
+    assert resolve_length_scale(2, 4) == 2.0
+    with pytest.raises(ValueError):
+        resolve_length_scale("sharp", 8)
+
+
+def test_engines_accept_auto_length_scale():
+    """Every engine exposing base_kernel_length_scale resolves 'auto' to 1/n."""
+    from tensornetworks_tpu.core import get_random_chain_network
+    from tensornetworks_tpu.engines import (
+        KSDVariationalInference, QuantumKSDVariationalInference)
+    from tensornetworks_tpu.engines.amortized import AmortizedKSD
+    from tensornetworks_tpu.engines.sampled import SampledKSDVariationalInference
+
+    n = 4
+    bn = get_random_chain_network(n + 1, seed=0)
+    latent = [f"V{i}" for i in range(n)]
+    obs = [f"V{n}"]
+    q = QuantumKSDVariationalInference(
+        bn, latent, obs, qbm_num_latent_vars=n,
+        base_kernel_length_scale="auto")
+    assert q.base_kernel_length_scale == 0.25
+    c = KSDVariationalInference(
+        bn, latent, obs, born_machine_config={},
+        base_kernel_length_scale="auto")
+    assert c.base_kernel_length_scale == 0.25
+    a = AmortizedKSD(
+        bn, latent, obs, born_machine_config={},
+        base_kernel_length_scale="auto")
+    assert a.length_scale == 0.25
+    s = SampledKSDVariationalInference(
+        bn, latent, obs, base_kernel_length_scale="auto", num_samples=16)
+    assert s.length_scale == 0.25

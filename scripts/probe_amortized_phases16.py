@@ -5,7 +5,7 @@ naturally (no best-snapshot restore in this engine — restarts are from the
 final params of the previous phase). Baseline: 0.166 mean per-observation
 TVD at 24000 single-phase epochs (RESULTS.md).
 
-Usage: python scripts/probe_amortized_phases16.py [n] [layers]
+Usage: python scripts/probe_amortized_phases16.py [n] [layers] [length_scale|auto]
 """
 import os
 import sys
@@ -22,6 +22,9 @@ PHASES = [(24000, 0.05), (12000, 0.005), (12000, 0.001)]
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     layers = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    ls = (sys.argv[3] if len(sys.argv) > 3 else 1.0)
+    if ls != "auto":
+        ls = float(ls)
 
     from tensornetworks_tpu import get_random_chain_network
     from tensornetworks_tpu.engines.amortized import AmortizedKSD
@@ -38,7 +41,8 @@ def main():
         n, ansatz_layers=layers, ansatz_type="bn_structured",
         conditioning_dim=len(observed_names),
         edges=latent_edges(bn, latent), cond_reupload=True)
-    eng = AmortizedKSD(bn, latent, observed_names, born_machine=qbm, seed=0)
+    eng = AmortizedKSD(bn, latent, observed_names, born_machine=qbm, seed=0,
+                       base_kernel_length_scale=ls)
 
     def mean_tvd():
         tvds = []

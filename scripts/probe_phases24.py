@@ -4,7 +4,7 @@ Single-phase runs saturate at best TVD ~0.125-0.14 by ~3000 epochs, but the
 direct fit proves the ansatz represents the posterior at TVD 0.038
 (probe_distill24): the plateau is optimization. Anneal the restarts.
 
-Usage: python scripts/probe_phases24.py [n] [e1] [e2] [e3]
+Usage: python scripts/probe_phases24.py [n] [e1] [e2] [e3] [length_scale|auto]
 """
 import os
 import sys
@@ -20,6 +20,9 @@ def main():
     e1 = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
     e2 = int(sys.argv[3]) if len(sys.argv) > 3 else 1500
     e3 = int(sys.argv[4]) if len(sys.argv) > 4 else 1500
+    ls = (sys.argv[5] if len(sys.argv) > 5 else 1.0)
+    if ls != "auto":
+        ls = float(ls)
 
     from tensornetworks_tpu.core import get_random_chain_network
     from tensornetworks_tpu.engines import QuantumKSDVariationalInference
@@ -31,7 +34,8 @@ def main():
 
     eng = QuantumKSDVariationalInference(
         bn, latent, list(observed), qbm_num_latent_vars=n,
-        qbm_ansatz_layers=8, qbm_ansatz_type="bn_structured", seed=0)
+        qbm_ansatz_layers=8, qbm_ansatz_type="bn_structured", seed=0,
+        base_kernel_length_scale=ls)
     t0 = time.perf_counter()
     best = np.inf
     for epochs, lr in [(e1, 0.05), (e2, 0.005), (e3, 0.001)]:

@@ -2,7 +2,7 @@
 annealing also lift the unlucky seeds, or only polish the good ones?
 (Single-phase 48k seeds: mean 0.0506 ± 0.0192, min 0.0267 — RESULTS.md.)
 
-Usage: python scripts/probe_phases_seeds.py [n] [seeds]
+Usage: python scripts/probe_phases_seeds.py [n] [seeds] [length_scale|auto]
 """
 import os
 import sys
@@ -18,6 +18,9 @@ PHASES = [(48000, 0.05), (24000, 0.005), (24000, 0.001)]
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    ls = (sys.argv[3] if len(sys.argv) > 3 else 1.0)
+    if ls != "auto":
+        ls = float(ls)
 
     from tensornetworks_tpu.core import get_random_chain_network
     from tensornetworks_tpu.engines import QuantumKSDVariationalInference
@@ -31,7 +34,8 @@ def main():
     for seed in range(seeds):
         eng = QuantumKSDVariationalInference(
             bn, latent, list(observed), qbm_num_latent_vars=n,
-            qbm_ansatz_layers=8, qbm_ansatz_type="bn_structured", seed=seed)
+            qbm_ansatz_layers=8, qbm_ansatz_type="bn_structured", seed=seed,
+            base_kernel_length_scale=ls)
         t0 = time.perf_counter()
         best = np.inf
         for epochs, lr in PHASES:
@@ -43,7 +47,7 @@ def main():
         print(f"seed {seed}: annealed best TVD {best:.4f} "
               f"[{time.perf_counter()-t0:.0f}s]", flush=True)
     b = np.asarray(bests)
-    print(f"RESULT n={n} seeds={seeds} annealed best_tvd mean={b.mean():.4f} "
+    print(f"RESULT n={n} seeds={seeds} ls={ls} annealed best_tvd mean={b.mean():.4f} "
           f"std={b.std():.4f} min={b.min():.4f} max={b.max():.4f}")
 
 

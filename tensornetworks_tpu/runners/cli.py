@@ -13,6 +13,17 @@ from __future__ import annotations
 import argparse
 
 
+
+def _parse_phase(spec: str):
+    """epochs:lr or epochs:lr:length_scale ('auto' allowed for the scale)."""
+    parts = spec.split(":")
+    if len(parts) == 2:
+        return (float(parts[0]), float(parts[1]))
+    if len(parts) == 3:
+        ls = parts[2] if parts[2] == "auto" else float(parts[2])
+        return (float(parts[0]), float(parts[1]), ls)
+    raise ValueError(f"bad phase spec {spec!r}; expected epochs:lr[:ls]")
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tensornetworks_tpu",
                                 description="TPU-native Born-machine VI experiments")
@@ -100,7 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="LR-annealed warm restarts: comma-separated "
                         "epochs:lr pairs, e.g. 48000:0.05,24000:0.005,"
                         "24000:0.001 (overrides --epochs/--lr; ksd only). "
-                        "Measured 16q best TVD 0.0267 -> 0.0201")
+                        "Measured 16q best TVD 0.0267 -> 0.0201. An "
+                        "optional third field sets the phase's kernel "
+                        "length scale (bandwidth annealing), e.g. "
+                        "6000:0.05:0.25,6000:0.05:auto")
     s.add_argument("--mesh", type=int, default=None,
                    help="shard the 2^n state over this many devices "
                         "(distributed KSD engine; ksd objective only)")
@@ -173,7 +187,7 @@ def main(argv=None):
                 ansatz=args.ansatz, num_devices=args.mesh,
                 chunk_epochs=args.chunk_epochs,
                 length_scale=args.length_scale,
-                lr_phases=([tuple(map(float, p.split(":")))
+                lr_phases=([_parse_phase(p)
                             for p in args.lr_phases.split(",")]
                            if args.lr_phases else None))
         from .scale import run_scale_experiment
@@ -192,7 +206,7 @@ def main(argv=None):
                                     warm_start=args.warm_start,
                                     warm_start_epochs=args.warm_start_epochs,
                                     length_scale=args.length_scale,
-                                    lr_phases=([tuple(map(float, p.split(":")))
+                                    lr_phases=([_parse_phase(p)
                                                 for p in args.lr_phases.split(",")]
                                                if args.lr_phases else None),
                                     track_tvd={"auto": None, "on": True,

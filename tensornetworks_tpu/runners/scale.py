@@ -16,6 +16,7 @@ from typing import Optional
 import numpy as np
 
 from ..core import calculate_tvd, get_random_chain_network
+from ..ops.hamming import resolve_length_scale
 from ..engines import AdversarialVariationalInference, QuantumKSDVariationalInference
 from .reporting import print_stability_stats
 
@@ -95,7 +96,15 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
                       f"{wh['best_tvd']:.4f} in {time.perf_counter()-t0:.0f}s")
         phases = list(lr_phases) if lr_phases else [(num_epochs, lr)]
         best_tvd, best_params = np.inf, None
-        for p_epochs, p_lr in phases:
+        for phase in phases:
+            # Optional third element: a per-phase kernel length scale
+            # (bandwidth annealing — train smooth first, sharpen later).
+            if len(phase) == 3:
+                p_epochs, p_lr, p_ls = phase
+                model.base_kernel_length_scale = resolve_length_scale(
+                    p_ls, num_qubits)
+            else:
+                p_epochs, p_lr = phase
             history = model.train(observed, num_epochs=int(p_epochs),
                                   lr_born_machine=float(p_lr),
                                   verbose=verbose,

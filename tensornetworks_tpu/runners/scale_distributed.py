@@ -13,6 +13,7 @@ from typing import Optional
 import numpy as np
 
 from ..engines.distributed import DistributedQuantumKSDVariationalInference
+from ..ops.hamming import resolve_length_scale
 from .scale import make_scale_problem
 
 
@@ -44,7 +45,13 @@ def run_distributed_scale_experiment(num_qubits: int = 8, layers: int = 4,
               f"per-device state = 2^{num_qubits}/{model.mesh.shape['state']}")
     phases = list(lr_phases) if lr_phases else [(num_epochs, lr)]
     best_tvd, best_params = np.inf, None
-    for p_epochs, p_lr in phases:
+    for phase in phases:
+        if len(phase) == 3:
+            p_epochs, p_lr, p_ls = phase
+            model.base_kernel_length_scale = resolve_length_scale(
+                p_ls, num_qubits)
+        else:
+            p_epochs, p_lr = phase
         history = model.train(observed, num_epochs=int(p_epochs),
                               lr_born_machine=float(p_lr),
                               verbose=verbose, true_posterior_for_tvd=posterior,

@@ -142,3 +142,14 @@ def test_cli_scale_length_scale_auto():
                 "--layers", "2", "--epochs", "30", "--length-scale", "auto"])
     assert out["model"].base_kernel_length_scale == 0.25
     assert np.isfinite(out["model"].best_tvd_)
+
+
+def test_cli_scale_lr_phases_with_length_scale():
+    """Phase triples epochs:lr:ls anneal the kernel bandwidth across
+    LR-annealed warm restarts; 'auto' resolves to 1/n per phase."""
+    out = main(["scale", "--qubits", "4", "--ansatz", "bn_structured",
+                "--layers", "2",
+                "--lr-phases", "30:0.05:0.5,30:0.01:auto"])
+    model = out["model"]
+    assert model.base_kernel_length_scale == 0.25  # final phase: auto = 1/4
+    assert np.isfinite(model.best_tvd_)

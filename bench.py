@@ -94,9 +94,11 @@ def measure_quality_path():
 
     Round 3: the configuration is the LR-annealed warm-restart schedule
     (48k @ 0.05 → 24k @ 0.005 → 24k @ 0.001, each phase restarting the
-    cosine schedule from the previous best snapshot — RESULTS.md), which
-    reaches best TVD ≈ 0.020: the reference's own best measured quality
-    class (0.0193 at n=3, BASELINE.md) at 2^16 states.
+    cosine schedule from the previous best snapshot) at the sharp Hamming
+    bandwidth ℓ=0.0625 (n·ℓ ≈ 1, one kernel e-fold per bit — the large-n
+    optimum; the reference's ℓ=1 was tuned at n=3). Measured best TVD
+    0.0061 (RESULTS.md) — 3.2× below the reference's own best measured
+    quality (0.0193 at n=3, BASELINE.md) at 2^16 states.
     """
     from tensornetworks_tpu.core import get_random_chain_network
     from tensornetworks_tpu.engines.ksd import QuantumKSDVariationalInference
@@ -108,7 +110,8 @@ def measure_quality_path():
     post = bn.posterior_vector(latent, observed)
     eng = QuantumKSDVariationalInference(
         bn, latent, list(observed), qbm_num_latent_vars=n,
-        qbm_ansatz_layers=8, qbm_ansatz_type="bn_structured", seed=0)
+        qbm_ansatz_layers=8, qbm_ansatz_type="bn_structured", seed=0,
+        base_kernel_length_scale=0.0625)
     phases = [(48000, 0.05), (24000, 0.005), (24000, 0.001)]
     best_tvd, steady = np.inf, None
     for p_epochs, p_lr in phases:
@@ -123,6 +126,7 @@ def measure_quality_path():
         "num_qubits": n,
         "epochs": sum(e for e, _ in phases),
         "lr_phases": [list(p) for p in phases],
+        "kernel_length_scale": 0.0625,
         "epochs_per_sec": round(steady, 1),
         "final_tvd": round(best_tvd, 4),
         "backend": eng.born_machine.backend,

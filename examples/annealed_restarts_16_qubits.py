@@ -12,7 +12,9 @@ walks further into the basin. Measured on one TPU v5e chip (RESULTS.md):
 0.0201 is the reference implementation's own best measured quality class
 (0.0193, BASELINE.md "Measured reference runs") — achieved there on a
 2^3-state problem; here on 2^16 states. The same schedule at 20 qubits:
-0.0542 -> 0.0435.
+0.0542 -> 0.0435. Combined with the sharp Hamming-kernel bandwidth
+(--length-scale auto; RESULTS.md bandwidth sweeps) the same three phases
+reach 0.0061 at 16q and 0.0217 at 20q (l=0.1).
 
 Equivalent CLI line:
     tntpu scale --qubits 16 --ansatz bn_structured --layers 8 \

@@ -100,13 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--warm-start-epochs", type=int, default=2000)
     s.add_argument("--length-scale",
                    type=lambda v: v if v == "auto" else float(v),
-                   default=1.0,
+                   default="auto",
                    help="Hamming base-kernel length scale l in "
-                        "exp(-d/(n*l)), or 'auto' for l=1/n (one kernel "
-                        "e-fold per bit — the measured large-n optimum). "
-                        "The reference default 1.0 was set at n=3; sharper "
-                        "kernels measurably improve large-n quality "
-                        "(RESULTS.md bandwidth sweep)")
+                        "exp(-d/(n*l)); 'auto' (default) = 1/n, one "
+                        "kernel e-fold per bit — the measured large-n "
+                        "optimum. The reference's 1.0 was set at n=3 and "
+                        "costs 3-7x final TVD at n>=16 (RESULTS.md "
+                        "bandwidth sweeps)")
     s.add_argument("--lr-phases", type=str, default=None,
                    help="LR-annealed warm restarts: comma-separated "
                         "epochs:lr pairs, e.g. 48000:0.05,24000:0.005,"

@@ -43,7 +43,7 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
                          warm_start: Optional[str] = None,
                          warm_start_epochs: int = 2000,
                          lr_phases=None,
-                         length_scale=1.0):
+                         length_scale="auto"):
     """``chunk_epochs``/``resume_state_path``/``temper_betas``/``backend``
     plumb straight into the quantum KSD engine (see
     ``QuantumKSDVariationalInference.train``); ``num_samples`` applies to
@@ -56,7 +56,13 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
     Measured NEGATIVE for ``bn_structured`` (RESULTS.md), positive for
     ``hardware_efficient``.
 
-    ``lr_phases`` (ksd objective only): list of ``(epochs, lr)`` — LR-
+    ``length_scale``: Hamming base-kernel bandwidth (float or ``'auto'`` =
+    ``1/n``, the default here). The reference's ``l=1`` was tuned at n=3 and
+    is measurably 3-7x worse in final TVD at n >= 16 (RESULTS.md bandwidth
+    sweeps); the Sprinkler parity runners keep the reference default.
+
+    ``lr_phases`` (ksd objective only): list of ``(epochs, lr)`` or
+    ``(epochs, lr, length_scale)`` — LR-
     annealed warm restarts. Each phase restarts the cosine schedule from the
     previous phase's best-TVD snapshot at its own peak LR; overrides
     ``num_epochs``/``lr``. Measured at 16q: (48000, 0.05), (24000, 0.005),
@@ -157,6 +163,7 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
             qbm_ansatz_type="hardware_efficient",
             qbm_init_method="small_random", num_samples=num_samples, seed=seed,
             qbm_grad_method=grad_method, grad_baseline=grad_baseline,
+            base_kernel_length_scale=length_scale,
         )
         history = model.train(observed, num_epochs=num_epochs,
                               lr_born_machine=lr, verbose=verbose,

@@ -26,7 +26,7 @@ def run_distributed_scale_experiment(num_qubits: int = 8, layers: int = 4,
                                      verbose: bool = True,
                                      track_tvd: Optional[bool] = None,
                                      lr_phases=None,
-                                     length_scale=1.0):
+                                     length_scale="auto"):
     """``lr_phases``: LR-annealed warm restarts, same semantics as the
     single-chip runner (each phase restarts the cosine schedule from the
     previous best snapshot; across-phase best restored)."""

@@ -7,7 +7,7 @@ engine's two-stage measurement sampling (sim.sampling.sample_indices_2d) and
 CPT-factored scores keep everything else at O(M) / O(2^{n/2}); per-layer
 remat bounds the adjoint's live buffers.
 
-Usage: python scripts/probe_sampled_28.py [n] [epochs] [chunk] [shots] [layers]
+Usage: python scripts/probe_sampled_28.py [n] [epochs] [chunk] [shots] [layers] [length_scale|auto]
 """
 import os
 import sys
@@ -24,6 +24,9 @@ def main():
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 15
     shots = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
     layers = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    ls = (sys.argv[6] if len(sys.argv) > 6 else 1.0)
+    if ls != "auto":
+        ls = float(ls)
 
     from tensornetworks_tpu import get_random_chain_network
     from tensornetworks_tpu.engines import SampledKSDVariationalInference
@@ -34,13 +37,14 @@ def main():
 
     engine = SampledKSDVariationalInference(
         bn, latent, list(observed), qbm_ansatz_layers=layers,
-        qbm_backend="auto", num_samples=shots, seed=0)
+        qbm_backend="auto", num_samples=shots, seed=0,
+        base_kernel_length_scale=ls)
     t0 = time.perf_counter()
     h = engine.train(observed, num_epochs=epochs, lr_born_machine=0.05,
                      verbose=False, chunk_epochs=chunk)
     dt = time.perf_counter() - t0
     loss = np.asarray(h["loss_ksd"])
-    print(f"RESULT n={n} L={layers} shots={shots} epochs={epochs} "
+    print(f"RESULT n={n} L={layers} shots={shots} epochs={epochs} ls={ls} "
           f"eps={h['epochs_per_sec']:.2f} "
           f"steady_eps={h.get('epochs_per_sec_steady', float('nan')):.2f} "
           f"wall={dt:.1f}s "

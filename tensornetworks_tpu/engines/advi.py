@@ -120,7 +120,24 @@ class AdversarialVariationalInference:
               baseline_decay: float = 0.99, optimizer_type: str = "adam",
               adam_betas=(0.9, 0.999), seed: Optional[int] = None,
               checkpoint_path: Optional[str] = None,
-              profile_dir: Optional[str] = None) -> dict:
+              profile_dir: Optional[str] = None,
+              chunk_epochs: Optional[int] = None,
+              resume_state_path: Optional[str] = None,
+              fail_after_chunks: Optional[int] = None) -> dict:
+        """``chunk_epochs``: split the epoch scan into separately dispatched
+        device programs of at most this many epochs — bit-identical to the
+        single scan (the carry: both parameter sets, both optimizer states
+        incl. cosine-schedule counts, the EMA baseline, RNG key and best
+        snapshots flows across chunks on device). Required for long runs on
+        runtime-bounded backends (the tunneled TPU worker kills ~2-minute
+        programs), same machinery as ``run_ksd_scan`` (engines/ksd.py).
+
+        ``resume_state_path`` (chunked mode only): durable mid-training
+        resume — after every chunk the carry + history is snapshotted to this
+        ``.npz``; an existing file resumes from its chunk boundary,
+        bit-identical to an uninterrupted run."""
+        if resume_state_path and not chunk_epochs:
+            raise ValueError("resume_state_path requires chunk_epochs")
         if self.num_observed_vars > 0 and set(x_observation_dict) != set(self.observed_vars_names):
             raise ValueError("Keys in x_observation_dict must match self.observed_vars_names.")
 
@@ -188,7 +205,7 @@ class AdversarialVariationalInference:
                 return logits, {**cv, **updates}
             return clf.apply(cv, x, train=train), cv
 
-        def epoch_step(carry, epoch):
+        def epoch_step(carry, epoch, log_p_table, posterior_vec):
             (bp, bo, cv, co, key, baseline,
              best_tvd, best_epoch, best_bp, best_cv, best_probs) = carry
 
@@ -286,26 +303,96 @@ class AdversarialVariationalInference:
                      best_tvd, best_epoch, best_bp, best_cv, best_probs)
             return carry, (loss_d, loss_q, tvd, gnorm_q, gnorm_d)
 
-        def run(bp0, cv0, key):
-            bo0 = opt_born.init(bp0)
-            co0 = opt_clf.init(cv0["params"])
-            q0 = bm_probs(bp0)
-            init = (bp0, bo0, cv0, co0, key, jnp.asarray(0.0, dtype),
-                    jnp.asarray(jnp.inf, dtype), jnp.asarray(-1), bp0, cv0, q0)
-            carry, outs = jax.lax.scan(epoch_step, init, jnp.arange(num_epochs))
-            (bp, _, cv, _, _, _, best_tvd, best_epoch, best_bp, best_cv, best_probs) = carry
+        def scan_epochs(carry, epochs, log_p, pv):
+            return jax.lax.scan(
+                lambda c, e: epoch_step(c, e, log_p, pv), carry, epochs)
+
+        def unpack(carry, outs):
+            (bp, _, cv, _, _, _, best_tvd, best_epoch, best_bp, best_cv,
+             best_probs) = carry
             return dict(born_params=bp, classifier_vars=cv, best_tvd=best_tvd,
-                        best_epoch=best_epoch, best_born=best_bp, best_clf=best_cv,
-                        best_probs=best_probs, outs=outs)
+                        best_epoch=best_epoch, best_born=best_bp,
+                        best_clf=best_cv, best_probs=best_probs, outs=outs)
 
         from ..train.profiling import profile_trace
         from .common import highest_matmul_precision
 
-        run_jit = jax.jit(run)
+        key0 = jax.random.PRNGKey(self.seed if seed is None else seed)
+        chunk_seconds = None
         t0 = time.perf_counter()
         with profile_trace(profile_dir), highest_matmul_precision():
-            out = run_jit(self.born_params, self.classifier_vars,
-                          jax.random.PRNGKey(self.seed if seed is None else seed))
+            if chunk_epochs:
+                # Bounded device programs, same machinery as run_ksd_scan:
+                # strong-typed carry (a weak int would change aval after
+                # chunk 0 and recompile the whole chunk program), tables as
+                # operands (never HLO constants), fetch-synced chunk timing,
+                # durable resume snapshots.
+                from .ksd import (_load_chunk_state, _resume_fingerprint,
+                                  _save_chunk_state)
+
+                def _init(bp0, cv0, k):
+                    return (bp0, opt_born.init(bp0), cv0,
+                            opt_clf.init(cv0["params"]), k,
+                            jnp.asarray(0.0, dtype),
+                            jnp.asarray(jnp.inf, dtype),
+                            jnp.asarray(-1, jnp.int32), bp0, cv0,
+                            bm_probs(bp0))
+                init = jax.jit(_init)(self.born_params, self.classifier_vars,
+                                      key0)
+                scan_chunk = jax.jit(scan_epochs)
+                carry, parts, start = init, [], 0
+                fingerprint = _resume_fingerprint(init, num_epochs,
+                                                  chunk_epochs)
+                if resume_state_path:
+                    import os
+
+                    if os.path.exists(resume_state_path):
+                        carry, prev_outs, start = _load_chunk_state(
+                            resume_state_path, init, fingerprint)
+                        if prev_outs is not None:
+                            parts.append(prev_outs)
+                chunk_seconds = []
+                for s in range(start, num_epochs, chunk_epochs):
+                    epochs = jnp.arange(s, min(s + chunk_epochs, num_epochs),
+                                        dtype=jnp.int32)
+                    t_chunk = time.perf_counter()
+                    carry, o = scan_chunk(carry, epochs, log_p_table,
+                                          posterior_vec)
+                    force_fetch(o[0])  # sync: bounded-runtime backend
+                    chunk_seconds.append((int(len(epochs)),
+                                          time.perf_counter() - t_chunk))
+                    parts.append(o)
+                    if resume_state_path:
+                        _save_chunk_state(resume_state_path, carry, parts,
+                                          s + len(epochs), fingerprint)
+                    if (fail_after_chunks is not None
+                            and len(chunk_seconds) >= fail_after_chunks):
+                        raise RuntimeError("fault injection: killed after "
+                                           f"{len(chunk_seconds)} chunks")
+                if resume_state_path:
+                    import os
+
+                    if os.path.exists(resume_state_path):
+                        os.remove(resume_state_path)
+                outs = (parts[0] if len(parts) == 1
+                        else jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                                          *parts))
+                out = unpack(carry, outs)
+            else:
+                def run(bp0, cv0, k, log_p, pv):
+                    init = (bp0, opt_born.init(bp0), cv0,
+                            opt_clf.init(cv0["params"]), k,
+                            jnp.asarray(0.0, dtype),
+                            jnp.asarray(jnp.inf, dtype),
+                            jnp.asarray(-1, jnp.int32), bp0, cv0,
+                            bm_probs(bp0))
+                    carry, outs = scan_epochs(
+                        init, jnp.arange(num_epochs, dtype=jnp.int32),
+                        log_p, pv)
+                    return unpack(carry, outs)
+
+                out = jax.jit(run)(self.born_params, self.classifier_vars,
+                                   key0, log_p_table, posterior_vec)
             force_fetch(out["outs"][0])
         elapsed = time.perf_counter() - t0
 
@@ -319,6 +406,12 @@ class AdversarialVariationalInference:
         })
         history["epochs_per_sec"] = num_epochs / elapsed if elapsed > 0 else float("inf")
         history["train_seconds"] = elapsed
+        if chunk_seconds:
+            from .ksd import steady_epochs_per_sec
+
+            steady = steady_epochs_per_sec(chunk_seconds)
+            if steady is not None:
+                history["epochs_per_sec_steady"] = steady
         self.history_ = history
         self.born_params = out["born_params"]
         self.classifier_vars = out["classifier_vars"]

@@ -152,7 +152,9 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
                               k_classifier_steps=3, k_born_steps=1, verbose=verbose,
                               true_posterior_for_tvd=posterior,
                               gradient_clip_norm=5.0, baseline_decay=0.95,
-                              adam_betas=(0.5, 0.999))
+                              adam_betas=(0.5, 0.999),
+                              chunk_epochs=chunk_epochs,
+                              resume_state_path=resume_state_path)
     elif objective == "sampled-ksd":
         # Past-exact-enumeration path (no reference counterpart): sampled
         # U-statistic KSD with CPT-factored scores (engines/sampled.py).

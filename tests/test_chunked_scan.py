@@ -58,3 +58,54 @@ def test_chunked_without_tracking():
                 chunk_epochs=25)
     assert len(h["loss_ksd"]) == 60
     assert np.isfinite(h["loss_ksd"]).all()
+
+
+def test_chunked_adversarial_matches_single_scan(tmp_path):
+    """ADVI chunking (round-4): chunked dispatch — and a chunked run resumed
+    mid-way from its durable snapshot — must reproduce the single-scan run
+    exactly (both optimizers' schedule counts, the EMA baseline, the RNG
+    stream and the best snapshots all ride the carry)."""
+    from tensornetworks_tpu.engines import AdversarialVariationalInference
+
+    bn = get_sprinkler_network()
+    latent, obs = ["C", "S", "R"], {"W": 1}
+    post = bn.posterior_vector(latent, obs)
+
+    def mk():
+        return AdversarialVariationalInference(
+            bn, latent, ["W"],
+            born_machine_config={"use_logits": True, "conditioning_dim": 1,
+                                 "init_method": "uniform"},
+            classifier_config={"hidden_dims": [16, 8],
+                               "use_batch_norm": False},
+            seed=0)
+
+    kw = dict(num_epochs=70, batch_size=64, lr_born_machine=3e-3,
+              lr_classifier=3e-2, k_classifier_steps=2, k_born_steps=1,
+              verbose=False, true_posterior_for_tvd=post,
+              gradient_clip_norm=5.0, baseline_decay=0.95,
+              adam_betas=(0.5, 0.999))
+    e1, e2, e3 = mk(), mk(), mk()
+    h1 = e1.train(obs, **kw)
+    h2 = e2.train(obs, **kw, chunk_epochs=30)  # uneven last chunk on purpose
+
+    for k in ("loss_classifier", "loss_born_machine", "tvd"):
+        np.testing.assert_allclose(h1[k], h2[k], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(e1.best_tvd_, e2.best_tvd_, rtol=1e-6, atol=1e-8)
+    assert e1.best_epoch_ == e2.best_epoch_
+
+    # Fault-injected resume: kill after 1 chunk, resume from the snapshot —
+    # the resumed run must replay bit-identically to the uninterrupted one.
+    import os
+    state = str(tmp_path / "advi_resume.npz")
+    import pytest
+    with pytest.raises(RuntimeError, match="fault injection"):
+        e3.train(obs, **kw, chunk_epochs=30, resume_state_path=state,
+                 fail_after_chunks=1)
+    assert os.path.exists(state)
+    h3 = e3.train(obs, **kw, chunk_epochs=30, resume_state_path=state)
+    assert not os.path.exists(state)  # removed on successful completion
+    for k in ("loss_classifier", "loss_born_machine", "tvd"):
+        np.testing.assert_allclose(h1[k], h3[k], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(e3.best_tvd_, e1.best_tvd_, rtol=1e-6,
+                               atol=1e-8)

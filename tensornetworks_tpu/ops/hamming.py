@@ -21,18 +21,29 @@ from ..core.bits import all_bitstrings
 def resolve_length_scale(length_scale, num_vars: int) -> float:
     """Resolve a length-scale spec to a float.
 
-    ``"auto"`` selects ``1/n`` so that ``n * l = 1`` — one kernel e-fold per
-    flipped bit. This is the measured large-n optimum (RESULTS.md bandwidth
-    sweeps: at 16q it beats the reference's ``l=1`` — tuned at n=3,
-    ``stein_utils.py:30-55`` — by ~3x final TVD, and sharper kernels are also
-    better conditioned: the Kronecker factor's cond (1+a)/(1-a) falls as
-    a -> 0). Numeric values pass through unchanged.
+    ``"auto"`` selects the measured per-n bandwidth optimum (RESULTS.md
+    bandwidth sweeps; the reference's ``l=1`` was tuned — if at all — at
+    n=3, ``stein_utils.py:30-55``, and costs 3-7x final TVD at n >= 16):
+
+    - ``n <= 17``: ``1/n`` (``n*l = 1``, one kernel e-fold per flipped
+      bit). 16q sweep: l=1/16 gives TVD 0.0141 vs 0.0196 at l=0.1 and
+      0.0403 at l=1.
+    - ``n >= 18``: ``2/n`` (``n*l = 2``). Measured optimum at every probed
+      size: 18q 0.0161 (2/n) vs 0.0713 (1/n) at 6k epochs; 20q 0.0229
+      (l=0.1) vs 0.0550 (l=0.05); 22q annealed 0.0435 (2/n) vs worse at
+      1/n; the 24q headline used l=2/24.
+
+    Sharp kernels are also better conditioned — the Kronecker factor's
+    cond (1+a)/(1-a) falls as a -> 0 — so ``auto`` never picks anything
+    flatter than the reference default. Numeric values pass through
+    unchanged.
     """
     if isinstance(length_scale, str):
         if length_scale != "auto":
             raise ValueError(
                 f"length_scale must be a float or 'auto', got {length_scale!r}")
-        return 1.0 / max(num_vars, 1)
+        n = max(num_vars, 1)
+        return (2.0 if n >= 18 else 1.0) / n
     return float(length_scale)
 
 

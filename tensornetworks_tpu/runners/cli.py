@@ -102,11 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
                    type=lambda v: v if v == "auto" else float(v),
                    default="auto",
                    help="Hamming base-kernel length scale l in "
-                        "exp(-d/(n*l)); 'auto' (default) = 1/n, one "
-                        "kernel e-fold per bit — the measured large-n "
-                        "optimum. The reference's 1.0 was set at n=3 and "
-                        "costs 3-7x final TVD at n>=16 (RESULTS.md "
-                        "bandwidth sweeps)")
+                        "exp(-d/(n*l)); 'auto' (default) = the measured "
+                        "per-n optimum: 1/n for n<=17, 2/n from n>=18 "
+                        "(RESULTS.md bandwidth sweeps + 18q crossover "
+                        "probe). The reference's 1.0 was set at n=3 and "
+                        "costs 3-7x final TVD at n>=16")
     s.add_argument("--lr-phases", type=str, default=None,
                    help="LR-annealed warm restarts: comma-separated "
                         "epochs:lr pairs, e.g. 48000:0.05,24000:0.005,"

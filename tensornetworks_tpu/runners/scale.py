@@ -56,10 +56,12 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
     Measured NEGATIVE for ``bn_structured`` (RESULTS.md), positive for
     ``hardware_efficient``.
 
-    ``length_scale``: Hamming base-kernel bandwidth (float or ``'auto'`` =
-    ``1/n``, the default here). The reference's ``l=1`` was tuned at n=3 and
-    is measurably 3-7x worse in final TVD at n >= 16 (RESULTS.md bandwidth
-    sweeps); the Sprinkler parity runners keep the reference default.
+    ``length_scale``: Hamming base-kernel bandwidth (float or ``'auto'``,
+    the default here — the measured per-n optimum: ``1/n`` for n <= 17,
+    ``2/n`` from n >= 18; see ``ops.hamming.resolve_length_scale``). The
+    reference's ``l=1`` was tuned at n=3 and is measurably 3-7x worse in
+    final TVD at n >= 16 (RESULTS.md bandwidth sweeps); the Sprinkler
+    parity runners keep the reference default.
 
     ``lr_phases`` (ksd objective only): list of ``(epochs, lr)`` or
     ``(epochs, lr, length_scale)`` — LR-

@@ -426,7 +426,14 @@ def test_operator_nondefault_length_scale_matches_brute_force():
 def test_resolve_length_scale():
     from tensornetworks_tpu.ops import resolve_length_scale
 
+    # Measured per-n optimum: n*l = 1 up to 17 vars, n*l = 2 from 18
+    # (RESULTS.md bandwidth sweeps; the 18q crossover probe pinned the
+    # switch point — 0.0161 at 2/n vs 0.0713 at 1/n).
     assert resolve_length_scale("auto", 16) == 1.0 / 16
+    assert resolve_length_scale("auto", 17) == 1.0 / 17
+    assert resolve_length_scale("auto", 18) == 2.0 / 18
+    assert resolve_length_scale("auto", 20) == 0.1
+    assert resolve_length_scale("auto", 24) == 2.0 / 24
     assert resolve_length_scale(0.5, 16) == 0.5
     assert resolve_length_scale(2, 4) == 2.0
     with pytest.raises(ValueError):
@@ -434,7 +441,8 @@ def test_resolve_length_scale():
 
 
 def test_engines_accept_auto_length_scale():
-    """Every engine exposing base_kernel_length_scale resolves 'auto' to 1/n."""
+    """Every engine exposing base_kernel_length_scale resolves 'auto'
+    through the shared per-n rule (1/n here at n=4)."""
     from tensornetworks_tpu.core import get_random_chain_network
     from tensornetworks_tpu.engines import (
         KSDVariationalInference, QuantumKSDVariationalInference)

@@ -21,6 +21,7 @@ loss mean:
 
 from __future__ import annotations
 
+import time
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -32,9 +33,10 @@ from ..core.bits import all_bitstrings
 from ..models.born_classical import ClassicalBornMachine
 from ..models.born_quantum import QuantumBornMachine
 from ..ops.hamming import resolve_length_scale
-from ..ops.stein import score_table, stein_gram_dense, stein_matvec
+from ..ops.stein import (_make_gcorr_tables_impl, ksd_quadform_gcorr,
+                         score_table, stein_gram_dense, stein_matvec)
 from .common import (force_fetch, global_norm, guarded_update, history_to_numpy,
-                     make_optimizer)
+                     make_optimizer, tree_select)
 
 
 class AmortizedKSD:
@@ -79,23 +81,96 @@ class AmortizedKSD:
         X = jnp.asarray(np.asarray(xs), dtype=jnp.float32)        # (X, d)
         return S, P, X
 
-    def train(self, observations: List[Dict[str, int]], num_epochs: int,
+    def _operator_tables(self, S: jnp.ndarray):
+        """Stacked per-observation Stein operator tables (leading X axis).
+
+        Mirrors ``SteinOperator``'s size-adaptive production layout: dense
+        Gram matrices at n <= 12, the n+1-column gcorr decomposition beyond
+        (the naive 3n+1 ``stein_matvec`` this engine used through round 3 is
+        ~4x slower at n = 20, RESULTS.md optimization log #13). Returns
+        ``(quad_batch, tables)`` where ``quad_batch(q, tables) -> (X,)``
+        evaluates every observation's quadratic form qᵀ K_p q."""
+        n = self.num_latent_vars
+        ls = self.length_scale
+        if n <= 12:
+            G = jax.jit(jax.vmap(
+                lambda s: stein_gram_dense(s, n, ls, dtype=self.dtype)))(S)
+
+            def quad_batch(q, tabs):
+                (G_,) = tabs
+                return jnp.einsum("xi,xij,xj->x", q, G_, q)
+
+            return quad_batch, (G,)
+
+        kron = "2d" if n <= 17 else "rows"
+        corr = "folded" if n >= 24 else ("matmul" if n >= 18 else "flips")
+        T = jax.jit(jax.vmap(lambda s: _make_gcorr_tables_impl(s, n)))(S)
+
+        def quad_batch(q, tabs):
+            (T_,) = tabs
+            return jax.vmap(lambda qq, tt: ksd_quadform_gcorr(
+                qq, tt, n, ls, 7, kron, corr))(q, T_)
+
+        return quad_batch, (T,)
+
+    def train(self, observations: List[Dict[str, int]], num_epochs: int = 0,
               lr: float = 3e-3, gradient_clip_norm: float = 5.0,
               entropy_weight: float = 1e-3, verbose: bool = True,
               seed: int = 0, mesh=None,
-              chunk_epochs: Optional[int] = None) -> dict:
+              chunk_epochs: Optional[int] = None,
+              lr_phases=None) -> dict:
         """``mesh``: optional device mesh (``parallel.make_mesh``) — the
-        observation batch axis of the score tables, posteriors, conditioning
-        inputs and per-observation probability rows is sharded over its
-        ``dp`` axis (data parallelism across observations).
+        observation batch axis of the operator tables, posteriors,
+        conditioning inputs and per-observation probability rows is sharded
+        over its ``dp`` axis (data parallelism across observations).
 
         ``chunk_epochs``: split training into bounded device programs of at
         most this many epochs (bit-identical carry across chunks) — required
         for long runs on the tunneled TPU backend, which kills device
-        programs running more than ~2 minutes."""
+        programs running more than ~2 minutes.
+
+        ``lr_phases``: LR-annealed warm restarts, same semantics as the
+        single-observation engines (runners/scale.py): a list of
+        ``(epochs, lr)`` or ``(epochs, lr, length_scale)`` tuples; each phase
+        restarts the cosine schedule from the across-phase BEST-mean-TVD
+        snapshot at its own peak LR (and optionally its own kernel
+        bandwidth). Overrides ``num_epochs``/``lr``. The returned history is
+        the final phase's; the model is left restored at the across-phase
+        best parameters (``best_mean_tvd_`` / ``best_params_``)."""
+        if lr_phases:
+            best_tvd, best_params = np.inf, None
+            for phase in lr_phases:
+                if len(phase) == 3:
+                    p_epochs, p_lr, p_ls = phase
+                    self.length_scale = resolve_length_scale(
+                        p_ls, self.num_latent_vars)
+                else:
+                    p_epochs, p_lr = phase
+                history = self._train_single(
+                    observations, int(p_epochs), float(p_lr),
+                    gradient_clip_norm, entropy_weight, verbose, seed, mesh,
+                    chunk_epochs)
+                if self.best_mean_tvd_ < best_tvd:
+                    best_tvd, best_params = (self.best_mean_tvd_,
+                                             self.best_params_)
+                if verbose:
+                    print(f"phase ({int(p_epochs)} epochs @ lr {p_lr}, "
+                          f"l={self.length_scale:.4g}): best mean TVD "
+                          f"{self.best_mean_tvd_:.6f}")
+            if best_params is not None:
+                self.params = best_params
+                self.best_params_ = best_params
+                self.best_mean_tvd_ = best_tvd
+            return history
+        return self._train_single(observations, num_epochs, lr,
+                                  gradient_clip_norm, entropy_weight, verbose,
+                                  seed, mesh, chunk_epochs)
+
+    def _train_single(self, observations, num_epochs, lr, gradient_clip_norm,
+                      entropy_weight, verbose, seed, mesh, chunk_epochs):
         n = self.num_latent_vars
         S, posts, X = self._stacked_tables(observations)
-        B = jnp.asarray(all_bitstrings(n), dtype=self.dtype)
+        quad_batch, tables = self._operator_tables(S)
         bm = self.born_machine
         optimizer = make_optimizer("adam", lr, num_epochs,
                                    gradient_clip_norm=gradient_clip_norm)
@@ -103,7 +178,9 @@ class AmortizedKSD:
         if mesh is not None:
             from ..parallel.mesh import data_sharding, replicated
 
-            S = jax.device_put(S, data_sharding(mesh, 3))
+            tables = jax.tree.map(
+                lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)),
+                tables)
             posts = jax.device_put(posts, data_sharding(mesh, 2))
             X = jax.device_put(X, data_sharding(mesh, 2))
             self.params = jax.device_put(self.params, replicated(mesh))
@@ -113,68 +190,141 @@ class AmortizedKSD:
             constrain = lambda q: q
 
         is_classical = isinstance(bm, ClassicalBornMachine)
+        # Quantum (deterministic) forwards reuse the loss forward for the
+        # per-epoch eval (CLAUDE.md round-3 rule; same convention as
+        # run_ksd_scan's reuse_loss_forward_for_eval): the loss forward at
+        # epoch t IS epoch t-1's post-update distribution, so in-scan evals
+        # lag one epoch and the final epoch is evaluated once post-scan.
+        # Classical BMs train with dropout noise — they keep the separate
+        # deterministic eval forward.
+        reuse_eval = not is_classical
 
         def batch_probs(params, rng=None, train=False):
             if is_classical:
                 return constrain(bm.probs(params, X, train=train, dropout_rng=rng))
             return constrain(jax.vmap(lambda x: bm.probs(params, x))(X))
 
-        # S / posts / B pass through the jit boundary as arguments (closure
-        # capture would embed them as HLO constants — fatal at large n).
-        def loss_fn(params, rng, S_, B_):
+        # Operator tables / posteriors pass through the jit boundary as
+        # arguments (closure capture would embed them as HLO constants —
+        # fatal at large n).
+        def loss_fn(params, rng, tabs):
             q = batch_probs(params, rng, train=True)  # (X, 2^n)
             q = q.astype(self.dtype)
-            y = jax.vmap(lambda qq, ss: stein_matvec(qq, ss, B_, n, self.length_scale),
-                         in_axes=(0, 0))(q, S_)
-            ksd = jnp.sqrt(jnp.clip(jnp.einsum("xi,xi->x", q, y), 1e-12, None))
+            ksd = jnp.sqrt(jnp.clip(quad_batch(q, tabs), 1e-12, None))
             ent = -(q * jnp.log(jnp.clip(q, 1e-10, None))).sum(-1)
             return (ksd - entropy_weight * ent).mean(), q
 
-        def epoch(carry, _, S_, B_, posts_):
-            params, opt_state, key = carry
+        def epoch(carry, epoch_i, tabs, posts_):
+            params, opt_state, key, best_tvd, best_epoch, best_params = carry
             key, sub = jax.random.split(key)
             (loss, q), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, sub, S_, B_)
+                params, sub, tabs)
             ok = jnp.isfinite(loss)
-            params, opt_state = guarded_update(optimizer, grads, opt_state, params, ok)
-            q_eval = batch_probs(params).astype(self.dtype)
-            tvd = 0.5 * jnp.abs(q_eval - posts_).sum(-1)
-            return (params, opt_state, key), (loss, tvd.mean(), global_norm(grads))
+            if reuse_eval:
+                # q is the PRE-update forward = previous epoch's post-update
+                # distribution (the init at epoch 0 — not a best candidate).
+                tvd = 0.5 * jnp.abs(q - posts_).sum(-1)
+                mean_tvd = tvd.mean()
+                improved = (mean_tvd < best_tvd) & (epoch_i > 0)
+                best_tvd = jnp.where(improved, mean_tvd, best_tvd)
+                best_epoch = jnp.where(improved, epoch_i - 1, best_epoch)
+                best_params = tree_select(improved, params, best_params)
+                params, opt_state = guarded_update(optimizer, grads, opt_state,
+                                                   params, ok)
+            else:
+                params, opt_state = guarded_update(optimizer, grads, opt_state,
+                                                   params, ok)
+                q_eval = batch_probs(params).astype(self.dtype)
+                tvd = 0.5 * jnp.abs(q_eval - posts_).sum(-1)
+                mean_tvd = tvd.mean()
+                improved = mean_tvd < best_tvd
+                best_tvd = jnp.where(improved, mean_tvd, best_tvd)
+                best_epoch = jnp.where(improved, epoch_i, best_epoch)
+                best_params = tree_select(improved, params, best_params)
+            carry = (params, opt_state, key, best_tvd, best_epoch, best_params)
+            return carry, (loss, mean_tvd, global_norm(grads))
+
+        def scan_epochs(carry, epochs, tabs, posts_):
+            return jax.lax.scan(lambda c, e: epoch(c, e, tabs, posts_),
+                                carry, epochs)
 
         from .common import highest_matmul_precision
 
+        chunk_seconds = None
+        t0 = time.perf_counter()
         with highest_matmul_precision():
             key0 = jax.random.PRNGKey(seed)
+            # Strong-typed carry scalars (weak ints change aval after chunk 0
+            # and recompile the whole chunk program — WORKLOG r3).
+            init = (self.params, optimizer.init(self.params), key0,
+                    jnp.asarray(jnp.inf, self.dtype),
+                    jnp.asarray(-1, jnp.int32), self.params)
             if chunk_epochs and chunk_epochs < num_epochs:
-                scan_chunk = jax.jit(
-                    lambda c, ln, S_, B_, posts_: jax.lax.scan(
-                        lambda cc, x: epoch(cc, x, S_, B_, posts_),
-                        c, None, length=ln),
-                    static_argnums=1)
-                carry = (self.params, optimizer.init(self.params), key0)
-                parts = []
-                done = 0
-                while done < num_epochs:
-                    ln = min(chunk_epochs, num_epochs - done)
-                    carry, o = scan_chunk(carry, ln, S, B, posts)
+                scan_chunk = jax.jit(scan_epochs)
+                carry, parts = init, []
+                chunk_seconds = []
+                for s in range(0, num_epochs, chunk_epochs):
+                    epochs = jnp.arange(s, min(s + chunk_epochs, num_epochs),
+                                        dtype=jnp.int32)
+                    t_chunk = time.perf_counter()
+                    carry, o = scan_chunk(carry, epochs, tables, posts)
                     force_fetch(o[0])  # sync: previous program finished
+                    chunk_seconds.append((int(len(epochs)),
+                                          time.perf_counter() - t_chunk))
                     parts.append(o)
-                    done += ln
-                (self.params, _, _) = carry
                 losses, tvds, gnorms = jax.tree.map(
                     lambda *xs: jnp.concatenate(xs), *parts)
             else:
-                run = jax.jit(lambda p, k, S_, B_, posts_: jax.lax.scan(
-                    lambda c, x: epoch(c, x, S_, B_, posts_),
-                    (p, optimizer.init(p), k), None, length=num_epochs))
-                (self.params, _, _), (losses, tvds, gnorms) = run(
-                    self.params, key0, S, B, posts)
+                run = jax.jit(scan_epochs)
+                carry, (losses, tvds, gnorms) = run(
+                    init, jnp.arange(num_epochs, dtype=jnp.int32), tables,
+                    posts)
+            (params, _, _, best_tvd, best_epoch, best_params) = carry
+            if reuse_eval:
+                # Final epoch's post-update eval (in-scan evals lag one) +
+                # history shift so mean_tvd[t] is epoch t's POST-update TVD,
+                # matching the non-reuse path exactly (run_ksd_scan does the
+                # same).
+                def _final(p, bt, be, bp, posts_, th):
+                    q_last = batch_probs(p).astype(self.dtype)
+                    tvd_last = 0.5 * jnp.abs(q_last - posts_).sum(-1).mean()
+                    improved = tvd_last < bt
+                    bt = jnp.where(improved, tvd_last, bt)
+                    be = jnp.where(improved, num_epochs - 1, be)
+                    bp = tree_select(improved, p, bp)
+                    th = jnp.concatenate(
+                        [th[1:], tvd_last[None].astype(th.dtype)])
+                    return bt, be, bp, th
+
+                best_tvd, best_epoch, best_params, tvds = jax.jit(_final)(
+                    params, best_tvd, best_epoch, best_params, posts, tvds)
             force_fetch(losses)
+        elapsed = time.perf_counter() - t0
+
+        # Restore the best-mean-TVD snapshot (the single-observation engines'
+        # convention; pre-round-4 this engine kept the FINAL params).
+        self.best_mean_tvd_ = float(best_tvd)
+        self.best_epoch_ = int(best_epoch)
+        self.best_params_ = best_params
+        if np.isfinite(self.best_mean_tvd_):
+            self.params = best_params
+        else:
+            self.params = params
         history = history_to_numpy({"loss": losses, "mean_tvd": tvds,
                                     "grad_norm": gnorms})
+        history["epochs_per_sec"] = (num_epochs / elapsed if elapsed > 0
+                                     else float("inf"))
+        history["train_seconds"] = elapsed
+        if chunk_seconds:
+            from .ksd import steady_epochs_per_sec
+
+            steady = steady_epochs_per_sec(chunk_seconds)
+            if steady is not None:
+                history["epochs_per_sec_steady"] = steady
         if verbose:
             print(f"Amortized KSD over {len(observations)} observations: "
-                  f"mean TVD {history['mean_tvd'][-1]:.6f}")
+                  f"best mean TVD {self.best_mean_tvd_:.6f} "
+                  f"(final {history['mean_tvd'][-1]:.6f})")
         return history
 
     def posterior_for(self, observation: Dict[str, int]) -> jnp.ndarray:

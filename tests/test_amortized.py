@@ -143,3 +143,81 @@ def test_amortized_reupload_beats_single_wall():
     tvd_plain = final_mean_tvd(False)
     assert tvd_ru < 0.12, tvd_ru
     assert tvd_ru * 2.0 < tvd_plain, (tvd_ru, tvd_plain)
+
+
+def test_amortized_gcorr_operator_matches_naive_matvec():
+    """The stacked gcorr-tables quadratic form (round-4 production path for
+    n > 12) must equal the naive 3n+1 stein_matvec quadform per observation
+    (f64 CPU exactness, same guarantee as tests/test_stein.py at the
+    single-observation level)."""
+    import jax.numpy as jnp
+
+    from tensornetworks_tpu.core import get_random_chain_network
+    from tensornetworks_tpu.core.bits import all_bitstrings
+    from tensornetworks_tpu.ops.stein import stein_matvec
+
+    n = 13  # first size on the gcorr branch (n > 12)
+    bn = get_random_chain_network(n + 1, seed=3)
+    latent = [f"V{i}" for i in range(n)]
+    m = AmortizedKSD(bn, latent, [f"V{n}"],
+                     born_machine_config={"use_logits": True,
+                                          "dropout_rate": 0.0},
+                     dtype=jnp.float64, base_kernel_length_scale=0.25)
+    S, posts, X = m._stacked_tables([{f"V{n}": 0}, {f"V{n}": 1}])
+    quad_batch, tables = m._operator_tables(S)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.dirichlet(np.ones(1 << n), size=2))
+    got = np.asarray(quad_batch(q, tables))
+    B = jnp.asarray(all_bitstrings(n), dtype=jnp.float64)
+    for x in range(2):
+        want = float(q[x] @ stein_matvec(q[x], S[x], B, n, 0.25))
+        np.testing.assert_allclose(got[x], want, rtol=1e-9)
+
+
+def test_amortized_best_snapshot_restored():
+    """Round-4: the engine restores the across-run best-mean-TVD snapshot
+    (pre-round-4 it kept the final params); best_mean_tvd_ must equal the
+    mean TVD recomputed from the restored parameters."""
+    from tensornetworks_tpu.models import QuantumBornMachine
+
+    bn = get_sprinkler_network()
+    latent = ["C", "S", "R"]
+    observations = [{"W": 0}, {"W": 1}]
+    qbm = QuantumBornMachine(3, ansatz_layers=2, conditioning_dim=1)
+    m = AmortizedKSD(bn, latent, ["W"], born_machine=qbm)
+    h = m.train(observations, num_epochs=300, lr=0.02, verbose=False)
+    assert np.isfinite(m.best_mean_tvd_)
+    # Best over every post-update state: no recorded epoch is better.
+    assert m.best_mean_tvd_ <= np.min(h["mean_tvd"]) + 1e-9
+    tvds = []
+    for obs in observations:
+        post = bn.posterior_vector(latent, obs)
+        q = np.asarray(m.posterior_for(obs))
+        tvds.append(0.5 * np.abs(q - post).sum())
+    np.testing.assert_allclose(np.mean(tvds), m.best_mean_tvd_, atol=1e-6)
+
+
+def test_amortized_lr_phases():
+    """lr_phases: each phase restarts from the across-phase best snapshot;
+    an optional third element sets the phase's kernel bandwidth. The final
+    model is restored at the across-phase best."""
+    from tensornetworks_tpu.models import QuantumBornMachine
+
+    bn = get_sprinkler_network()
+    latent = ["C", "S", "R"]
+    observations = [{"W": 0}, {"W": 1}]
+    qbm = QuantumBornMachine(3, ansatz_layers=2, conditioning_dim=1)
+    m = AmortizedKSD(bn, latent, ["W"], born_machine=qbm)
+    m.train(observations, lr_phases=[(150, 0.02), (80, 0.002, 0.5)],
+            verbose=False)
+    assert m.length_scale == 0.5  # phase-2 bandwidth applied
+    best_after_phases = m.best_mean_tvd_
+    assert np.isfinite(best_after_phases)
+    # Across-phase best restored into params.
+    tvds = []
+    for obs in observations:
+        post = bn.posterior_vector(latent, obs)
+        q = np.asarray(m.posterior_for(obs))
+        tvds.append(0.5 * np.abs(q - post).sum())
+    np.testing.assert_allclose(np.mean(tvds), best_after_phases, atol=1e-6)

@@ -1,6 +1,7 @@
 from .advi import AdversarialVariationalInference
 from .amortized import AmortizedKSD, train_multi_seed
-from .distill import fit_born_machine, marginals_product
+from .distill import (fit_born_machine, fit_conditioned_born_machine,
+                      marginals_product)
 from .distributed import (DistributedQuantumKSDVariationalInference,
                           DistributedSteinOperator)
 from .ksd import KSDVariationalInference, QuantumKSDVariationalInference
@@ -17,6 +18,7 @@ __all__ = [
     "SampledKSDVariationalInference",
     "cosine_lr_schedule",
     "fit_born_machine",
+    "fit_conditioned_born_machine",
     "marginals_product",
     "make_optimizer",
     "train_multi_seed",

@@ -152,3 +152,95 @@ def fit_born_machine(born_machine, target_probs, *, num_epochs: int = 1000,
         "best_epoch": int(be),
     }
     return best_params, history
+
+
+def fit_conditioned_born_machine(born_machine, targets, x_conditions, *,
+                                 num_epochs: int = 1000, lr: float = 0.05,
+                                 loss: str = "tvd",
+                                 optimizer_type: str = "adam",
+                                 use_lr_scheduler: bool = True,
+                                 gradient_clip_norm: float = 10.0,
+                                 params0=None, seed: int = 0,
+                                 chunk_epochs: Optional[int] = None):
+    """Conditioned direct fit: ONE conditioned Born machine fitted to a
+    BATCH of target distributions simultaneously (loss = mean over
+    observations). This is the amortized expressivity diagnostic (the
+    conditioned analogue of use 2 above): when an amortized KSD run
+    plateaus, it separates "the conditioned ansatz cannot represent several
+    posteriors at once" from "the amortized objective doesn't find them" —
+    the same attribution that cracked the single-observation 16q plateau
+    (RESULTS.md "Objective quality at scale").
+
+    ``targets``: (X, 2^n) array of target distributions; ``x_conditions``:
+    (X, d) conditioning inputs, one row per target. Returns
+    ``(best_params, history)`` with ``history['mean_tvd']`` per epoch and
+    ``best_mean_tvd``/``best_epoch``.
+    """
+    T = jnp.asarray(np.asarray(targets), dtype=jnp.float32)
+    X = jnp.asarray(np.asarray(x_conditions), dtype=jnp.float32)
+    if T.ndim != 2 or X.shape[0] != T.shape[0]:
+        raise ValueError(f"targets {T.shape} / x_conditions {X.shape} must "
+                         "share a leading observation axis")
+    params = (born_machine.init(jax.random.PRNGKey(seed))
+              if params0 is None else params0)
+    optimizer = make_optimizer(optimizer_type, lr, num_epochs,
+                               use_lr_scheduler, (0.9, 0.999),
+                               gradient_clip_norm)
+
+    def batch_probs(p, X_):
+        return jax.vmap(
+            lambda x: born_machine.probs(p, x).astype(jnp.float32))(X_)
+
+    def _scan_epochs(carry, epochs, T_, X_):
+        def step(carry, epoch):
+            p, st, bt, be, bp = carry
+
+            # Eval-forward reuse (one batched forward per epoch): TVD is
+            # tracked from the same forward the loss differentiates.
+            def loss_and_q(pp):
+                q = batch_probs(pp, X_)
+                lv = jnp.mean(jax.vmap(lambda qq, tt: _loss(loss, qq, tt))(
+                    q, T_))
+                return lv, q
+
+            (loss_v, q), grads = jax.value_and_grad(
+                loss_and_q, has_aux=True)(p)
+            tvd = (0.5 * jnp.abs(q - T_).sum(-1)).mean()
+            imp = tvd < bt
+            bt = jnp.where(imp, tvd, bt)
+            be = jnp.where(imp, epoch, be)
+            bp = tree_select(imp, p, bp)
+            ok = jnp.isfinite(loss_v)
+            p, st = guarded_update(optimizer, grads, st, p, ok)
+            return (p, st, bt, be, bp), (loss_v, tvd)
+
+        return jax.lax.scan(step, carry, epochs)
+
+    init = (params, optimizer.init(params),
+            jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32),
+            params)
+    with highest_matmul_precision():
+        if chunk_epochs:
+            scan_chunk = jax.jit(_scan_epochs)
+            carry, parts = init, []
+            for s in range(0, num_epochs, chunk_epochs):
+                epochs = jnp.arange(s, min(s + chunk_epochs, num_epochs),
+                                    dtype=jnp.int32)
+                carry, o = scan_chunk(carry, epochs, T, X)
+                force_fetch(o[0])
+                parts.append(o)
+            losses = jnp.concatenate([p[0] for p in parts])
+            tvds = jnp.concatenate([p[1] for p in parts])
+            _, _, bt, be, best_params = carry
+        else:
+            (_, _, bt, be, best_params), (losses, tvds) = jax.jit(
+                _scan_epochs)(init, jnp.arange(num_epochs, dtype=jnp.int32),
+                              T, X)
+            force_fetch(losses)
+    history = {
+        "loss": np.asarray(losses),
+        "mean_tvd": np.asarray(tvds),
+        "best_mean_tvd": float(bt),
+        "best_epoch": int(be),
+    }
+    return best_params, history

@@ -529,9 +529,12 @@ def stein_matvec(q: jnp.ndarray, S: jnp.ndarray, B: jnp.ndarray, num_vars: int,
     matvec (one fused multi-column pass), then recombines with closed-form
     row-wise weights. See module docstring for the derivation. (The
     production operator path precomputes the n+1-column decomposition's
-    tables instead — ``make_gcorr_tables`` — which is ~4x faster at n = 20;
-    this self-contained form is kept for the distributed executor and as the
-    reference implementation.)
+    tables instead — ``make_gcorr_tables`` — which is ~4x faster at n = 20.
+    The distributed shard_map executor uses the same n+1-column gcorr
+    decomposition, derived in-place over sharded operands —
+    ``parallel/distributed_train.make_distributed_stein_matvec``. This
+    self-contained 3n+1 form remains as the reference implementation and
+    the oracle the others are tested against.)
     """
     n = num_vars
     if n == 0:

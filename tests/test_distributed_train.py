@@ -171,3 +171,26 @@ def test_distributed_train_step_optimizes():
         p_d, s_d, l_d = step(p_d, s_d, S)
         losses.append(float(l_d))
     assert losses[-1] < losses[0]
+
+
+def test_distributed_matvec_matches_gcorr_at_20q():
+    """VERDICT r3 item 6: the distributed shard_map matvec (n+1-column gcorr
+    decomposition over sharded operands) must be exact against the
+    single-device production gcorr-tables path at n=20 on the 8-device
+    mesh — the size where the production path switches to rows-layout +
+    permutation-einsum corrections."""
+    n = 20
+    mesh = make_mesh(8, dp=1)
+    S_np = _setup(n)
+    op = SteinOperator(S_np, n, dtype=jnp.float64, dense=False)
+    assert op.gcorr is not None  # the production gcorr-tables path
+    (S,) = place_stein_tables(mesh, S_np, n, dtype=jnp.float64)
+    mv = make_distributed_stein_matvec(mesh, n)
+
+    rng = np.random.default_rng(0)
+    q = rng.dirichlet(np.ones(2**n))
+    q_sh = jax.device_put(jnp.asarray(q, dtype=jnp.float64),
+                          state_sharding(mesh, 1))
+    got = np.asarray(jax.jit(mv)(q_sh, S))
+    want = np.asarray(jax.jit(op.matvec)(jnp.asarray(q, dtype=jnp.float64)))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)

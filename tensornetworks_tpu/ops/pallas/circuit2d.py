@@ -3,7 +3,8 @@
 Uses the ``sim.blocked2d`` formulation — the state is a FIXED-shape (R, C)
 matrix and every circuit element is a dot or an elementwise sign multiply —
 which is exactly the op set this image's Mosaic compiler accepts (no
-reshapes, no gathers; see the bisect notes in ``pallas/templates/stein_matvec.py``).
+reshapes, no gathers; see the Mosaic bisect notes in RESULTS.md, optimization
+log #23).
 
 Complex arithmetic runs on (re, im) f32 planes; a complex matmul is four real
 MXU dots. The per-layer rotation operators arrive as kernel inputs (built by

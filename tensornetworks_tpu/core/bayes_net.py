@@ -247,6 +247,50 @@ class BayesianNetwork:
         tuples = [tuple(int(b) for b in v) for v in vals]
         return dicts, tuples
 
+    def likelihood_weighted_marginals(
+        self, latent_vars_names: Sequence[str], observed_vars_dict: Dict[str, int],
+        num_samples: int = 1_000_000, seed: int = 0,
+    ) -> Dict[str, float]:
+        """Posterior single-variable marginals ``P(z_i = 1 | x)`` estimated by
+        likelihood weighting: vectorized ancestral sampling with evidence
+        nodes clamped and each sample weighted by ``Π p(x_j | parents)``.
+
+        Consistent for ANY network size — the beyond-enumeration quality
+        surrogate at n ≥ 25 where the dense ``2^n`` posterior
+        (:meth:`posterior_vector`) cannot be built. Monte-Carlo standard
+        error ~ ``1/sqrt(ESS)``; the returned dict carries the effective
+        sample size under the key ``"__ess__"`` so callers can report it.
+        (The reference has no large-n evaluation mechanism at all — its
+        exact-enumeration oracle, ``bayesian_network.py:148-253``, is the
+        n ≤ 20 regime this method extends.)
+        """
+        rng = np.random.default_rng(seed)
+        m = num_samples
+        vals = np.zeros((m, self.num_nodes), dtype=np.int8)
+        logw = np.zeros(m, dtype=np.float64)
+        for name in self.nodes:  # topological order by construction
+            pos = self.node_to_index[name]
+            parent_pos = [self.node_to_index[q] for q in self.parents[name]]
+            k = len(parent_pos)
+            parent_idx = np.zeros(m, dtype=np.int64)
+            for j, pp in enumerate(parent_pos):
+                parent_idx |= vals[:, pp].astype(np.int64) << (k - 1 - j)
+            p1 = self._cpt_arrays[name][parent_idx, 1]
+            if name in observed_vars_dict:
+                v = int(observed_vars_dict[name])
+                vals[:, pos] = v
+                pv = p1 if v == 1 else 1.0 - p1
+                logw += np.log(np.clip(pv, 1e-300, None))
+            else:
+                vals[:, pos] = rng.random(m) < p1
+        w = np.exp(logw - logw.max())
+        s = w.sum()
+        w /= s
+        out = {nm: float(w @ (vals[:, self.node_to_index[nm]] == 1))
+               for nm in latent_vars_names}
+        out["__ess__"] = float(1.0 / np.square(w).sum())
+        return out
+
 
 # ----------------------------------------------------------------- factories
 

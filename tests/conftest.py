@@ -29,3 +29,25 @@ def pytest_sessionstart(session):
         f"tests must run on CPU, got {jax.devices()}"
     )
     assert jax.device_count() == 8, "expected 8 virtual CPU devices"
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (the exhaustive lane; the default "
+             "fast lane keeps `pytest -q` under ~10 minutes)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test lanes: `pytest -q` (fast, default) skips tests marked slow;
+    `pytest -q --runslow` or `pytest -q -m slow` runs the exhaustive lane."""
+    if config.getoption("--runslow"):
+        return
+    if config.getoption("-m"):  # explicit marker selection overrides
+        return
+    import pytest
+
+    skip_slow = pytest.mark.skip(reason="slow lane: use --runslow or -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

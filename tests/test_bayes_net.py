@@ -149,3 +149,28 @@ def test_tvd_oracle():
     p2 = {"00": 0.5, "01": 0.1, "10": 0.1, "11": 0.3}
     assert abs(calculate_tvd(p1, p2) - 0.3) < 1e-12
     assert abs(calculate_tvd(np.array([0.25] * 4), np.array([0.5, 0.1, 0.1, 0.3])) - 0.3) < 1e-12
+
+
+def test_likelihood_weighted_marginals_match_exact():
+    """LW marginal estimates converge to the exact enumerated posterior
+    marginals (the n >= 25 quality surrogate, validated where enumeration
+    still works)."""
+    import numpy as np
+
+    from tensornetworks_tpu.core import get_random_chain_network
+
+    n = 10
+    bn = get_random_chain_network(n + 1, seed=4)
+    latent = [f"V{i}" for i in range(n)]
+    obs = {f"V{n}": 1}
+    post = bn.posterior_vector(latent, obs)
+    # Exact P(z_i = 1 | x) from the dense posterior.
+    p = post.reshape((2,) * n)
+    exact = {latent[i]: float(p.sum(axis=tuple(j for j in range(n) if j != i))[1])
+             for i in range(n)}
+    est = bn.likelihood_weighted_marginals(latent, obs, num_samples=200_000,
+                                           seed=0)
+    ess = est.pop("__ess__")
+    assert ess > 10_000
+    for nm in latent:
+        assert abs(est[nm] - exact[nm]) < 0.01, (nm, est[nm], exact[nm])

@@ -332,8 +332,14 @@ class AmortizedKSD:
                         dtype=jnp.float32)
         # jit, not eager: per-op dispatch of a circuit forward is ~90 ms/op
         # through the TPU tunnel and eager complex ops are UNIMPLEMENTED on
-        # the axon backend outright.
-        return jax.jit(self.born_machine.probs)(self.params, x)
+        # the axon backend outright. HIGHEST precision to match the training
+        # eval — at DEFAULT the TPU's bf16 matmul passes inflated a 16q
+        # amortized eval TVD 0.0786 -> 0.1352 (measured round 4; same effect
+        # as RESULTS.md optimization log #9).
+        from .common import highest_matmul_precision
+
+        with highest_matmul_precision():
+            return jax.jit(self.born_machine.probs)(self.params, x)
 
 
 def train_multi_seed(bayesian_network: BayesianNetwork, latent_vars_names, observed_dict,

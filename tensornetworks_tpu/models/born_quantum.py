@@ -24,7 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.bits import generate_all_binary_outcomes, jnp_bits_to_index
+from ..core.bits import (all_bitstrings, generate_all_binary_outcomes,
+                         jnp_bits_to_index)
 from ..sim.ansatz import ansatz_probs, ansatz_state_fn, num_ansatz_params
 from ..sim.sampling import sample_bits
 
@@ -37,7 +38,8 @@ class QuantumBornMachine:
                  init_method: str = "small_random", dtype=jnp.complex64,
                  backend: str = "auto", block: int = 8, edges=None,
                  remat_layers: bool = False, grad_method: str = "autodiff",
-                 cond_reupload: bool = False):
+                 cond_reupload: bool = False,
+                 cond_learned_embedding: bool = False):
         """``backend``: 'blocked' (TPU-layout-friendly block-matmul executor,
         the default for n >= 6), 'einsum' (per-gate contraction path), or
         'auto'. Both produce identical distributions (tests/test_blocked.py).
@@ -58,6 +60,30 @@ class QuantumBornMachine:
         if cond_reupload and (conditioning_dim <= 0 or ansatz_type != "bn_structured"):
             raise ValueError("cond_reupload requires a conditioned bn_structured "
                              "Born machine (the structured executors implement it)")
+        # Learned conditioning embedding (round 4, amortized-capacity lever):
+        # instead of the fixed wall angles π·x_q, the wall angle of each
+        # qubit is a LEARNED linear map of the full binary interaction basis
+        # of x — φ(x) = (Π_{j∈S} x_j)_{S ⊆ {1..d}}, 2^d features — so for
+        # binary evidence the wall is freely observation-indexed while
+        # remaining a smooth parametric map. Adds n·2^d trainable params
+        # (appended to the circuit parameter vector); initialized to
+        # REPRODUCE the fixed embedding exactly (W[q, {q mod d}] = π), so
+        # the model starts identical to the unlearned one and can only gain.
+        # Motivation: the 16q amortized conditioned direct-fit bound (0.0703)
+        # showed the FIXED wall is the expressivity binding constraint
+        # (RESULTS.md round 4).
+        self.cond_learned_embedding = cond_learned_embedding
+        if cond_learned_embedding:
+            if conditioning_dim <= 0:
+                raise ValueError("cond_learned_embedding requires a "
+                                 "conditioned Born machine")
+            if conditioning_dim > 10:
+                raise ValueError("cond_learned_embedding builds 2^d "
+                                 f"interaction features; d={conditioning_dim} "
+                                 "is too large")
+        self._num_embed_params = (
+            num_latent_vars * (1 << conditioning_dim)
+            if cond_learned_embedding else 0)
         if grad_method not in ("autodiff", "adjoint"):
             raise ValueError(f"grad_method must be autodiff|adjoint, got {grad_method!r}")
         if grad_method == "adjoint" and ansatz_type == "bn_structured":
@@ -117,6 +143,8 @@ class QuantumBornMachine:
                         reupload=cond_reupload, remat_layers=remat_layers)
                     self.backend = "structured_flat"
             self._blocked_state = None
+            self.num_circuit_params = self.num_params
+            self.num_params += self._num_embed_params
             return
         self.num_params = num_ansatz_params(num_latent_vars, ansatz_layers, ansatz_type)
         ansatz_state_fn(ansatz_type)  # validate early
@@ -172,23 +200,56 @@ class QuantumBornMachine:
         else:
             self._blocked_probs = None
             self._blocked_state = None
+        self.num_circuit_params = self.num_params
+        self.num_params += self._num_embed_params
 
     def init(self, key: jax.Array) -> jnp.ndarray:
         """θ init. Parity: ``quantum_born_machine.py:40-47``."""
         m = self.init_method
+        nc = self.num_circuit_params
         if m == "zero":
-            return jnp.zeros(self.num_params, dtype=jnp.float32)
-        if m == "small_random":
-            return 0.1 * jax.random.normal(key, (self.num_params,), dtype=jnp.float32)
-        return jax.random.uniform(key, (self.num_params,), dtype=jnp.float32,
-                                  maxval=2.0 * np.pi)
+            circ = jnp.zeros(nc, dtype=jnp.float32)
+        elif m == "small_random":
+            circ = 0.1 * jax.random.normal(key, (nc,), dtype=jnp.float32)
+        else:
+            circ = jax.random.uniform(key, (nc,), dtype=jnp.float32,
+                                      maxval=2.0 * np.pi)
+        if not self._num_embed_params:
+            return circ
+        # Embedding matrix initialized to reproduce the FIXED wall exactly:
+        # angle_q = π·x_{q mod d} ⇔ W[q, singleton {q mod d}] = π.
+        n, d = self.num_latent_vars, self.conditioning_dim
+        W = np.zeros((n, 1 << d), dtype=np.float32)
+        for q in range(n):
+            W[q, 1 << (q % d)] = np.pi
+        return jnp.concatenate([circ, jnp.asarray(W.reshape(-1))])
 
-    def _embed_angles(self, x_condition) -> jnp.ndarray:
-        """Cycle the observation vector across qubits, scaled to [0, π]."""
+    def _interaction_features(self, x: jnp.ndarray) -> jnp.ndarray:
+        """φ(x): all 2^d subset products Π_{j∈S} x_j (φ_∅ = 1)."""
+        d = self.conditioning_dim
+        masks = np.asarray(all_bitstrings(d), dtype=np.float32)  # (2^d, d)
+        # rows of all_bitstrings are MSB-first; index subsets LSB-first so
+        # mask m selects bit j when (m >> j) & 1 — flip the column order.
+        masks = masks[:, ::-1].copy()
+        sel = jnp.where(jnp.asarray(masks) > 0, x[None, :], 1.0)
+        return jnp.prod(sel, axis=1)
+
+    def _embed_angles(self, x_condition, params=None) -> jnp.ndarray:
+        """Wall angles: fixed π-scaled cycling of x, or (with
+        ``cond_learned_embedding``) a learned map of the full binary
+        interaction basis of x."""
         n = self.num_latent_vars
         x = jnp.asarray(x_condition, dtype=jnp.float32).reshape(-1)
+        if self._num_embed_params:
+            W = params[self.num_circuit_params:].reshape(
+                n, 1 << self.conditioning_dim)
+            return W @ self._interaction_features(x)
         reps = -(-n // x.shape[0])
         return jnp.pi * jnp.tile(x, reps)[:n]
+
+    def _circuit_params(self, params: jnp.ndarray) -> jnp.ndarray:
+        return (params[:self.num_circuit_params]
+                if self._num_embed_params else params)
 
     def probs(self, params: jnp.ndarray, x_condition=None) -> jnp.ndarray:
         """Analytic q_θ(z[, |x]) over all 2^n outcomes (|ψ|²)."""
@@ -196,7 +257,8 @@ class QuantumBornMachine:
             if x_condition is None:
                 raise ValueError("x_condition must be provided for a conditioned "
                                  "quantum Born machine.")
-            return self._blocked_probs(params, self._embed_angles(x_condition))
+            return self._blocked_probs(self._circuit_params(params),
+                                       self._embed_angles(x_condition, params))
         if self._blocked_probs is not None:
             return self._blocked_probs(params)
         return ansatz_probs(params, self.num_latent_vars, self.ansatz_layers,
@@ -212,8 +274,10 @@ class QuantumBornMachine:
             if x_condition is None:
                 raise ValueError("x_condition must be provided for a conditioned "
                                  "quantum Born machine.")
-            return self._blocked_state(params, self._embed_angles(x_condition)).reshape(
-                (2,) * self.num_latent_vars)
+            return self._blocked_state(
+                self._circuit_params(params),
+                self._embed_angles(x_condition, params)).reshape(
+                    (2,) * self.num_latent_vars)
         if self._blocked_state is not None:
             return self._blocked_state(params).reshape((2,) * self.num_latent_vars)
         return ansatz_state_fn(self.ansatz_type)(params, self.num_latent_vars,

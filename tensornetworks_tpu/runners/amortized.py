@@ -22,7 +22,9 @@ def run_amortized_experiment(num_qubits: int = 4, num_epochs: int = 1500,
                              ansatz: str = "hardware_efficient",
                              entropy_weight: float = 1e-3, seed: int = 0,
                              verbose: bool = True, mesh=None,
-                             reupload: bool = False):
+                             reupload: bool = False,
+                             length_scale="auto",
+                             chunk_epochs=None, lr_phases=None):
     bn, latent, observed = make_scale_problem(num_qubits, seed)
     obs_var = list(observed.keys())[0]
     observations = [{obs_var: 0}, {obs_var: 1}]
@@ -37,16 +39,17 @@ def run_amortized_experiment(num_qubits: int = 4, num_epochs: int = 1500,
                                  conditioning_dim=1, ansatz_type=ansatz,
                                  edges=edges, cond_reupload=reupload)
         model = AmortizedKSD(bn, latent, [obs_var], born_machine=qbm,
-                             seed=seed)
+                             seed=seed, base_kernel_length_scale=length_scale)
     else:
         model = AmortizedKSD(bn, latent, [obs_var],
                              born_machine_config={"use_logits": True,
                                                   "dropout_rate": 0.0},
-                             seed=seed)
+                             seed=seed, base_kernel_length_scale=length_scale)
 
     history = model.train(observations, num_epochs=num_epochs, lr=lr,
                           entropy_weight=entropy_weight, verbose=verbose,
-                          seed=seed, mesh=mesh)
+                          seed=seed, mesh=mesh, chunk_epochs=chunk_epochs,
+                          lr_phases=lr_phases)
 
     per_obs_tvd = {}
     for obs in observations:

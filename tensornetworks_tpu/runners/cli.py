@@ -141,6 +141,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="data re-uploading: the RY(x) embedding wall "
                          "precedes every layer (conditioned bn_structured "
                          "only; closes the amortization quality gap)")
+    am.add_argument("--length-scale",
+                    type=lambda v: v if v == "auto" else float(v),
+                    default="auto",
+                    help="Hamming base-kernel bandwidth (same semantics as "
+                         "scale --length-scale; sharp per-n auto default). "
+                         "Measured round 4: 16q amortized mean TVD 0.166 -> "
+                         "0.079 moving l=1 to the per-n optimum")
+    am.add_argument("--chunk-epochs", type=int, default=None)
+    am.add_argument("--lr-phases", type=str, default=None,
+                    help="epochs:lr[:ls] phases, as in scale --lr-phases")
     am.add_argument("--entropy-weight", type=float, default=1e-3)
     am.add_argument("--seed", type=int, default=0)
     return p
@@ -218,7 +228,10 @@ def main(argv=None):
             num_qubits=args.qubits, num_epochs=args.epochs, lr=args.lr,
             layers=args.layers, quantum=args.quantum, ansatz=args.ansatz,
             entropy_weight=args.entropy_weight, seed=args.seed,
-            reupload=args.reupload)
+            reupload=args.reupload, length_scale=args.length_scale,
+            chunk_epochs=args.chunk_epochs,
+            lr_phases=([_parse_phase(p) for p in args.lr_phases.split(",")]
+                       if args.lr_phases else None))
     raise SystemExit(f"unknown command {args.command}")
 
 

@@ -146,3 +146,35 @@ def test_classifier_batch_norm_variant():
     x = jnp.ones((6, 4))
     logits, updates = clf.apply(v, x, train=True, mutable=["batch_stats"])
     assert logits.shape == (6, 1)
+
+
+def test_learned_conditioning_embedding():
+    """cond_learned_embedding (round 4): at init the learned wall reproduces
+    the fixed π·x embedding EXACTLY (W starts at the singleton-feature
+    basis), gradients flow into the embedding tail, and training it apart
+    moves the conditional distributions."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensornetworks_tpu.models import QuantumBornMachine
+
+    for kw in [dict(ansatz_type="hardware_efficient", backend="blocked"),
+               dict(ansatz_type="bn_structured", edges=[(0, 1), (1, 2)],
+                    cond_reupload=True)]:
+        a = QuantumBornMachine(4, ansatz_layers=2, conditioning_dim=2, **kw)
+        b = QuantumBornMachine(4, ansatz_layers=2, conditioning_dim=2,
+                               cond_learned_embedding=True, **kw)
+        pa = a.init(jax.random.PRNGKey(0))
+        pb = b.init(jax.random.PRNGKey(0))
+        assert b.num_params == a.num_params + 4 * (1 << 2)
+        assert b.num_circuit_params == a.num_params
+        for bits in [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0)]:
+            x = jnp.asarray(bits)
+            np.testing.assert_allclose(np.asarray(a.probs(pa, x)),
+                                       np.asarray(b.probs(pb, x)), atol=1e-9)
+        g = jax.grad(lambda p: b.probs(p, jnp.asarray([1.0, 0.0]))[3])(pb)
+        assert np.abs(np.asarray(g)[a.num_params:]).max() > 0
+
+    import pytest
+    with pytest.raises(ValueError):
+        QuantumBornMachine(4, ansatz_layers=2, cond_learned_embedding=True)

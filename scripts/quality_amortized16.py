@@ -60,10 +60,12 @@ def main():
             out.append((int(f[0]), float(f[1])))
         return out
 
+    learned = "--learned-embedding" in sys.argv
     qbm = QuantumBornMachine(
         n, ansatz_layers=layers, ansatz_type="bn_structured",
         conditioning_dim=len(observed_names),
-        edges=latent_edges(bn, latent), cond_reupload=True)
+        edges=latent_edges(bn, latent), cond_reupload=True,
+        cond_learned_embedding=learned)
 
     if "--bound" in sys.argv:
         from tensornetworks_tpu.engines import fit_conditioned_born_machine
@@ -72,8 +74,8 @@ def main():
         best, h = fit_conditioned_born_machine(
             qbm, targets, X, num_epochs=2000, lr=0.05, seed=seed,
             chunk_epochs=min(chunk, 2000))
-        print(f"BOUND n={n} L={layers} conditioned direct fit: best mean TVD "
-              f"{h['best_mean_tvd']:.4f} "
+        print(f"BOUND n={n} L={layers} learned={learned} conditioned direct "
+              f"fit: best mean TVD {h['best_mean_tvd']:.4f} "
               f"[{time.perf_counter()-t0:.0f}s]", flush=True)
         return
 
@@ -93,7 +95,7 @@ def main():
         q = np.asarray(eng.posterior_for(obs))
         tvds.append(0.5 * np.abs(q - post).sum())
     print(f"RESULT n={n} L={layers} ls={eng.length_scale:.4g} phases={spec} "
-          f"wall={dt/60:.1f}min "
+          f"learned={learned} wall={dt/60:.1f}min "
           f"steady_eps={h.get('epochs_per_sec_steady', float('nan')):.1f} "
           f"best_mean_tvd={eng.best_mean_tvd_:.4f}", flush=True)
     for obs, tv in zip(observations, tvds):

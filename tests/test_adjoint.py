@@ -16,6 +16,7 @@ from tensornetworks_tpu.sim.adjoint import make_adjoint_probs_fn
     ("all_to_all", 3, 2),
     ("basic", 4, 2),
 ])
+@pytest.mark.slow
 def test_adjoint_grad_matches_autodiff(ansatz, n, L):
     k = num_ansatz_params(n, L, ansatz)
     params = jnp.asarray(

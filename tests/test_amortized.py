@@ -4,8 +4,10 @@ import numpy as np
 
 from tensornetworks_tpu.core import calculate_tvd, get_sprinkler_network
 from tensornetworks_tpu.engines.amortized import AmortizedKSD, train_multi_seed
+import pytest
 
 
+@pytest.mark.slow
 def test_amortized_ksd_learns_both_conditionals():
     bn = get_sprinkler_network()
     observations = [{"W": 0}, {"W": 1}]
@@ -22,6 +24,7 @@ def test_amortized_ksd_learns_both_conditionals():
     assert h["mean_tvd"][-1] < 0.05
 
 
+@pytest.mark.slow
 def test_multi_seed_sweep():
     bn = get_sprinkler_network()
     params, tvds, losses = train_multi_seed(bn, ["C", "S", "R"], {"W": 1},
@@ -105,6 +108,7 @@ def test_amortized_chunked_matches_single_scan():
         jax.device_get(m1.params), jax.device_get(m2.params))
 
 
+@pytest.mark.slow
 def test_amortized_reupload_beats_single_wall():
     """Data re-uploading (RY(x) wall before every layer, cond_reupload=True)
     closes the amortization gap a single input wall leaves: measured at n=8,

@@ -28,6 +28,7 @@ def test_blocked2d_matches_einsum(ansatz, n, L):
     np.testing.assert_allclose(p2d, p_ref, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_blocked2d_gradients():
     n, L = 6, 2
     k = num_ansatz_params(n, L, "hardware_efficient")

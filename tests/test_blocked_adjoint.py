@@ -28,6 +28,7 @@ def _rand_params(n, layers, ansatz_type, seed):
 @pytest.mark.parametrize("ansatz_type", ["hardware_efficient", "basic",
                                          "all_to_all"])
 @pytest.mark.parametrize("n,layers,block", [(5, 2, 3), (8, 3, 4), (9, 2, 4)])
+@pytest.mark.slow
 def test_adjoint_matches_autodiff(ansatz_type, n, layers, block):
     probs_ad = make_blocked_probs_fn(n, layers, ansatz_type, block=block,
                                      dtype=jnp.complex128)

@@ -98,6 +98,7 @@ def test_resume_requires_chunking():
                 resume_state_path="/tmp/nope.npz")
 
 
+@pytest.mark.slow
 def test_tempered_schedule_identity_and_anneal():
     """betas=[1.0] must be bit-identical to the untempered chunked run; an
     annealed schedule must still track TVD against the true posterior and

@@ -2,6 +2,7 @@
 (carry — params, optimizer/schedule state, best snapshot — flows across
 chunks unchanged)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -60,6 +61,7 @@ def test_chunked_without_tracking():
     assert np.isfinite(h["loss_ksd"]).all()
 
 
+@pytest.mark.slow
 def test_chunked_adversarial_matches_single_scan(tmp_path):
     """ADVI chunking (round-4): chunked dispatch — and a chunked run resumed
     mid-way from its durable snapshot — must reproduce the single-scan run
@@ -98,7 +100,6 @@ def test_chunked_adversarial_matches_single_scan(tmp_path):
     # the resumed run must replay bit-identically to the uninterrupted one.
     import os
     state = str(tmp_path / "advi_resume.npz")
-    import pytest
     with pytest.raises(RuntimeError, match="fault injection"):
         e3.train(obs, **kw, chunk_epochs=30, resume_state_path=state,
                  fail_after_chunks=1)

@@ -76,6 +76,7 @@ def test_distill_warm_start_into_ksd():
     assert engine.best_tvd_ < 0.5 * np.abs(prod - np.asarray(target)).sum() + 1e-6
 
 
+@pytest.mark.slow
 def test_distill_chunked_bit_identical():
     """chunk_epochs splits the fit into bounded programs with identical
     results (same guarantee the VI engines' chunked mode provides)."""
@@ -113,6 +114,7 @@ def test_marginals_product_matches_handrolled():
     np.testing.assert_allclose(marginals_product(prod2, 2), prod2, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_fit_conditioned_born_machine():
     """Conditioned direct fit (round-4): one conditioned PQC fitted to BOTH
     Sprinkler posteriors simultaneously — the amortized expressivity bound.

@@ -36,6 +36,7 @@ def _problem(n, seed=0):
     return bn, latent, observed
 
 
+@pytest.mark.slow
 def test_distributed_engine_matches_single_device_scan():
     """Full engine train() (f64/c128) vs run_ksd_scan with the single-device
     einsum executor: loss and TVD histories agree to 1e-9."""
@@ -81,6 +82,7 @@ def test_distributed_engine_matches_single_device_scan():
     assert abs(model.best_tvd_ - float(out["best_tvd"])) < 1e-9
 
 
+@pytest.mark.slow
 def test_distributed_structured_ansatz_matches_single_device():
     """bn_structured (+ conditioning) through the shard_map gate primitives
     equals the single-device 2D structured executor."""
@@ -110,6 +112,7 @@ def test_distributed_structured_ansatz_matches_single_device():
                                np.asarray(single_c(p, ang)), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_distributed_engine_structured_with_conditioning_trains():
     """The flagship config (bn_structured + conditioning) runs distributed
     end-to-end through the engine and the loss decreases."""
@@ -127,6 +130,7 @@ def test_distributed_engine_structured_with_conditioning_trains():
     assert np.isfinite(model.best_tvd_)
 
 
+@pytest.mark.slow
 def test_distributed_engine_chunked_resume_bit_identical(tmp_path):
     """Chunked + fault-injected resume through the distributed engine
     replays bit-identically to the uninterrupted chunked run."""
@@ -199,6 +203,7 @@ def test_distributed_engine_20q_memory_sharded():
     assert np.isfinite(np.asarray(h["loss_ksd"])).all()
 
 
+@pytest.mark.slow
 def test_distributed_runner_lr_phases():
     """The distributed scale runner chains LR-annealed restarts over the
     mesh and restores the across-phase best (CLI: --mesh D --lr-phases)."""

@@ -25,6 +25,7 @@ from tensornetworks_tpu.parallel.distributed_train import (
     place_stein_tables,
 )
 from tensornetworks_tpu.sim import ansatz_probs, num_ansatz_params
+import pytest
 
 
 def _setup(n):
@@ -34,6 +35,7 @@ def _setup(n):
     return score_table(t)
 
 
+@pytest.mark.slow
 def test_distributed_stein_matvec_matches_single_device():
     n = 6
     mesh = make_mesh(8, dp=1)
@@ -51,6 +53,7 @@ def test_distributed_stein_matvec_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_distributed_quadform_value_and_grad():
     n = 6
     mesh = make_mesh(8, dp=1)
@@ -72,6 +75,7 @@ def test_distributed_quadform_value_and_grad():
     np.testing.assert_allclose(g_got, g_want, rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_distributed_ksd_gradients_match_single_device():
     """End-to-end: d loss / d params through the sharded circuit + sharded
     Stein operator equals the single-device value."""
@@ -125,6 +129,7 @@ def test_distributed_state_memory_is_sharded():
     assert S.sharding.shard_shape(S.shape) == (2**n // D, n)
 
 
+@pytest.mark.slow
 def test_distributed_train_step_optimizes():
     """A few distributed steps reduce the loss and match the single-device
     step trajectory parameter-for-parameter."""

@@ -81,6 +81,7 @@ def test_quantum_ksd_converges(sprinkler):
     assert abs(sum(d.values()) - 1.0) < 1e-5
 
 
+@pytest.mark.slow
 def test_adversarial_converges(sprinkler):
     bn, post = sprinkler
     m = AdversarialVariationalInference(
@@ -123,6 +124,7 @@ def test_prior_tabulation_matches_reference_semantics(sprinkler):
     assert abs(table[0b101] - np.log(0.9 + 1e-9)) < 1e-6
 
 
+@pytest.mark.slow
 def test_eval_reuse_matches_two_forward_path():
     """reuse_loss_forward_for_eval must give the SAME tvd history, best
     snapshot, and final params as the two-forward path (the quantum forward
@@ -165,6 +167,7 @@ def test_eval_reuse_matches_two_forward_path():
     assert int(a["best_epoch"]) == int(b["best_epoch"])
 
 
+@pytest.mark.slow
 def test_eval_convention_noisy_matches_deterministic_without_dropout():
     """With dropout_rate=0 the train-mode forward IS the deterministic
     forward, so both evaluation conventions must produce identical histories
@@ -191,6 +194,7 @@ def test_eval_convention_noisy_matches_deterministic_without_dropout():
     np.testing.assert_allclose(a.best_tvd_, b.best_tvd_, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_eval_convention_noisy_differs_with_dropout():
     """With dropout active, the noisy convention evaluates a different
     (stochastic) distribution — histories must differ, and the run completes
@@ -216,6 +220,7 @@ def test_eval_convention_noisy_differs_with_dropout():
                            np.asarray(b.history_["tvd"]))
 
 
+@pytest.mark.slow
 def test_chunk_carry_has_no_weak_types():
     """A weak-typed scalar in the scan carry makes chunk 1 recompile the
     whole chunk program (the step returns strong int32, changing the carry

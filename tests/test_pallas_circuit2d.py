@@ -16,6 +16,7 @@ from tensornetworks_tpu.sim import ansatz_probs, num_ansatz_params
     ("basic", 5, 2),
     ("all_to_all", 4, 2),
 ])
+@pytest.mark.slow
 def test_pallas2d_forward_and_adjoint_backward(ansatz, n, L):
     k = num_ansatz_params(n, L, ansatz)
     params = jnp.asarray(np.random.default_rng(n + L).uniform(0, 2 * np.pi, k),
@@ -31,6 +32,7 @@ def test_pallas2d_forward_and_adjoint_backward(ansatz, n, L):
     np.testing.assert_allclose(g_pal, g_ref, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_pallas2d_conditioning_matches_blocked():
     from tensornetworks_tpu.sim.blocked import make_blocked_probs_fn
 

@@ -18,6 +18,7 @@ from tensornetworks_tpu.sim import ansatz_probs, num_ansatz_params
     ("basic", 5, 2),
     ("all_to_all", 4, 2),
 ])
+@pytest.mark.slow
 def test_grid_forward_and_adjoint_backward(ansatz, n, L):
     k = num_ansatz_params(n, L, ansatz)
     params = jnp.asarray(np.random.default_rng(n + L).uniform(0, 2 * np.pi, k),

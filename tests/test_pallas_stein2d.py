@@ -1,5 +1,6 @@
 """Pallas two-sided Stein matvec kernel vs the XLA path (interpret mode)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,7 @@ def _setup(n, seed=0):
     return S, B, q
 
 
+@pytest.mark.slow
 def test_stein2d_matvec_matches_xla():
     for n in (6, 9, 10):
         S, B, q = _setup(n)

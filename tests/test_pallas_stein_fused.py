@@ -41,6 +41,7 @@ def test_fused_matches_dense_gram_f64(n):
 
 
 @pytest.mark.parametrize("n,ls", [(6, 1.0), (9, 0.5), (11, 2.0)])
+@pytest.mark.slow
 def test_fused_matches_gcorr_tables_path(n, ls):
     q, S = _setup(n, seed=n)
     tables = make_gcorr_tables(jnp.asarray(S), n)
@@ -66,6 +67,7 @@ def test_fused_f32_accuracy():
     np.testing.assert_allclose(got.reshape(-1) / scale, want / scale, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fused_asymmetric_rb():
     """Non-default row/column split (the n=22 VMEM-pressure configuration)."""
     n = 9

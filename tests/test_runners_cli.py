@@ -12,6 +12,7 @@ from tensornetworks_tpu.runners import (
 )
 from tensornetworks_tpu.runners.cli import build_parser, main
 from tensornetworks_tpu.runners.scale import make_scale_problem, run_scale_experiment
+import pytest
 
 
 def test_ksd_runner_smoke(tmp_path):
@@ -30,6 +31,7 @@ def test_quantum_runner_smoke():
     assert np.isfinite(out["final_tvd"])
 
 
+@pytest.mark.slow
 def test_adversarial_runner_smoke():
     cfg = AdversarialConfig(num_epochs=20)
     out = run_sprinkler_experiment(cfg, verbose=False)
@@ -81,6 +83,7 @@ def test_scale_sampled_ksd_objective():
     assert np.isfinite(np.asarray(out["history"]["loss_ksd"])).all()
 
 
+@pytest.mark.slow
 def test_cli_amortized_reupload_flag():
     from tensornetworks_tpu.runners.cli import main
 
@@ -91,6 +94,7 @@ def test_cli_amortized_reupload_flag():
     assert all(np.isfinite(v) for v in out["per_obs_tvd"].values())
 
 
+@pytest.mark.slow
 def test_cli_scale_sampled_grad_method():
     from tensornetworks_tpu.runners.cli import main
 
@@ -100,6 +104,7 @@ def test_cli_scale_sampled_grad_method():
     assert out["model"].born_machine.grad_method == "adjoint"
 
 
+@pytest.mark.slow
 def test_cli_scale_warm_start_marginals():
     out = main(["scale", "--qubits", "5", "--ansatz", "bn_structured",
                 "--layers", "3", "--epochs", "40",
@@ -111,6 +116,7 @@ def test_cli_scale_warm_start_marginals():
     assert best < 0.5
 
 
+@pytest.mark.slow
 def test_cli_scale_lr_phases():
     """LR-annealed warm restarts: phases chain from best snapshots and the
     model ends restored at the across-phase best."""

@@ -125,6 +125,7 @@ def test_reinforce_weighted_gradient_equals_exact():
                                atol=1e-10 * np.abs(g_exact).max())
 
 
+@pytest.mark.slow
 def test_reinforce_sampled_gradient_is_unbiasedish():
     # Many-shot sampled gradient approaches the exact gradient direction.
     bn = get_random_chain_network(5, seed=6)
@@ -165,6 +166,7 @@ def test_reinforce_sampled_gradient_is_unbiasedish():
     np.testing.assert_allclose(np.mean(vals), float(exact(logits0)), rtol=0.05)
 
 
+@pytest.mark.slow
 def test_sampled_engine_converges_on_sprinkler():
     bn = get_sprinkler_network()
     latent = ["C", "S", "R"]
@@ -179,6 +181,7 @@ def test_sampled_engine_converges_on_sprinkler():
     assert np.isfinite(h["loss_ksd"]).all()
 
 
+@pytest.mark.slow
 def test_sampled_engine_chunked_matches_single():
     bn = get_sprinkler_network()
     latent = ["C", "S", "R"]
@@ -199,6 +202,7 @@ def test_sampled_engine_chunked_matches_single():
     assert e1.best_epoch_ == e2.best_epoch_
 
 
+@pytest.mark.slow
 def test_sampled_engine_two_stage_converges():
     """Measurement-shot (two-stage) sampling trains to the same quality as
     the flat inverse-CDF path on the Sprinkler posterior."""
@@ -223,6 +227,7 @@ def test_sampled_engine_auto_sampling_thresholds():
     assert small.sampling == "flat"
 
 
+@pytest.mark.slow
 def test_sampled_engine_adjoint_grad_matches_autodiff():
     """qbm_grad_method='adjoint' (the O(1)-memory large-n backward,
     sim/blocked_adjoint.py) produces the same training trajectory as the
@@ -271,6 +276,7 @@ def _loo_test_setup(n, bn_seed):
     return Kp, fn
 
 
+@pytest.mark.slow
 def test_reinforce_loo_baseline_exactly_unbiased():
     """Full enumeration over all M=3 sample tuples: the loo baseline leaves
     E[grad surrogate] == grad(q^T K_p q) to fp precision, while the plain

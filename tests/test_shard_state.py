@@ -1,6 +1,7 @@
 """Manual shard_map statevector primitives vs single-device ground truth,
 on the 8-way virtual CPU mesh."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,7 @@ def _sharded_vector(mesh, n, dtype=jnp.complex128, seed=0):
     return jax.device_put(arr, state_sharding(mesh, 1)), arr
 
 
+@pytest.mark.slow
 def test_distributed_1q_gate_all_positions():
     n = 7
     mesh = make_mesh(8, dp=1)  # 3 global bits
@@ -58,6 +60,7 @@ def test_distributed_gate_under_jit():
     np.testing.assert_allclose(got, want, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_distributed_cnot_all_cases():
     # All four locality cases: (c,t) both global, c global/t local,
     # c local/t global, both local (n=6, k=3 on the 8-device mesh).
@@ -74,6 +77,7 @@ def test_distributed_cnot_all_cases():
         np.testing.assert_allclose(got, want, atol=1e-12, err_msg=f"cnot({c},{t})")
 
 
+@pytest.mark.slow
 def test_distributed_cz_all_cases():
     from tensornetworks_tpu.sim.statevector import apply_cz
     from tensornetworks_tpu.parallel.shard_state import distributed_apply_cz
@@ -88,6 +92,7 @@ def test_distributed_cz_all_cases():
         np.testing.assert_allclose(got, want, atol=1e-12, err_msg=f"cz({a},{b})")
 
 
+@pytest.mark.slow
 def test_distributed_ansatz_matches_single_device():
     from tensornetworks_tpu.parallel.distributed_ansatz import (
         make_distributed_ansatz_probs,

@@ -19,6 +19,7 @@ from tensornetworks_tpu.sim import (
     zero_state,
 )
 from tensornetworks_tpu.core import calculate_tvd
+import pytest
 
 C128 = jnp.complex128
 
@@ -119,6 +120,7 @@ def test_single_qubit_he_analytic():
     np.testing.assert_allclose(p, np.abs(psi) ** 2, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_parameter_shift_matches_jax_grad():
     # Gradient parity: jax.grad through the contraction must equal the
     # parameter-shift rule analytically (SURVEY.md §7 hard part (b)).

@@ -287,6 +287,7 @@ def test_matvec_gcorr_matches_dense():
                                        atol=1e-10 * np.abs(y_ref).max())
 
 
+@pytest.mark.slow
 def test_operator_gcorr_2d_window_real_scores():
     # The production operator path (gcorr tables, kron='2d') at a 13-qubit
     # real-score-table size vs the dense Gram, including quadform grad.
@@ -316,6 +317,7 @@ def test_operator_gcorr_2d_window_real_scores():
                                atol=4e-4 * np.abs(y_ref).max())
 
 
+@pytest.mark.slow
 def test_gcorr_tables_large_n_window_matches_naive():
     # Extends the exactness window to the production large-n regime
     # (VERDICT r2 directive 3): the gcorr-tables matvec (n+1 Kronecker

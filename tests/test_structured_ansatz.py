@@ -32,6 +32,7 @@ def _reference_probs(params, n, L, edges):
 
 
 @pytest.mark.parametrize("n,L", [(5, 3), (6, 2), (7, 3)])
+@pytest.mark.slow
 def test_structured_matches_generic_executor(n, L):
     bn = get_random_chain_network(n, seed=n)
     edges = latent_edges(bn, bn.nodes)
@@ -82,6 +83,7 @@ def test_engine_structured_autoderives_edges_and_converges():
 
 
 @pytest.mark.parametrize("n,L", [(5, 3), (9, 2), (10, 4)])
+@pytest.mark.slow
 def test_flat_executor_matches_2d_and_reference(n, L):
     """Production flat (blocked-machinery) structured executor: probs and
     grads match the 2D flip-select executor and the per-gate reference,
@@ -148,6 +150,7 @@ def test_composed_executor_matches_2d_and_flat(n, L):
 
 @pytest.mark.parametrize("n,L,block", [(5, 3, 8), (9, 2, 4), (10, 4, 8),
                                        (11, 3, 4)])
+@pytest.mark.slow
 def test_blockcomposed_executor_matches_2d_and_flat(n, L, block):
     """Block-composed executor (round-3 production path): probs and grads
     match the 2D flip-select and flat executors on edge lists stressing
@@ -215,6 +218,7 @@ def test_composed_executor_rejects_cross_half_high_to_low():
 
 
 @pytest.mark.parametrize("n,L,block", [(6, 3, 8), (9, 2, 4), (10, 3, 8)])
+@pytest.mark.slow
 def test_reupload_executors_agree_and_oracle(n, L, block):
     """Data re-uploading (RY(x) wall folded into every layer): the flat and
     block-composed executors must agree with each other AND with an
@@ -315,6 +319,7 @@ def test_qbm_cond_reupload_plumbs_and_validates():
 
 
 @pytest.mark.parametrize("factory_name", ["blockcomposed", "flat"])
+@pytest.mark.slow
 def test_structured_remat_layers_bit_identical(factory_name):
     """remat_layers=True must change memory behavior only: probs AND grads
     identical to the plain executors (same contractions, re-run in the

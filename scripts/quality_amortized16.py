@@ -57,7 +57,11 @@ def main():
         out = []
         for part in spec.split(","):
             f = part.split(":")
-            out.append((int(f[0]), float(f[1])))
+            if len(f) == 3:
+                out.append((int(f[0]), float(f[1]),
+                            f[2] if f[2] == "auto" else float(f[2])))
+            else:
+                out.append((int(f[0]), float(f[1])))
         return out
 
     learned = "--learned-embedding" in sys.argv

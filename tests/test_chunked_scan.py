@@ -110,3 +110,22 @@ def test_chunked_adversarial_matches_single_scan(tmp_path):
         np.testing.assert_allclose(h1[k], h3[k], rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(e3.best_tvd_, e1.best_tvd_, rtol=1e-6,
                                atol=1e-8)
+
+
+def test_chunked_adversarial_smoke():
+    """Fast-lane coverage of the ADVI chunked path (the full bit-identity +
+    fault-injected-resume test is slow-lane)."""
+    from tensornetworks_tpu.engines import AdversarialVariationalInference
+
+    bn = get_sprinkler_network()
+    m = AdversarialVariationalInference(
+        bn, ["C", "S", "R"], ["W"],
+        born_machine_config={"use_logits": True, "conditioning_dim": 0,
+                             "init_method": "small_random"},
+        classifier_config={"hidden_dims": [8], "use_batch_norm": False},
+        seed=0)
+    h = m.train({"W": 1}, num_epochs=20, batch_size=32, lr_born_machine=3e-3,
+                lr_classifier=3e-2, verbose=False, chunk_epochs=8)
+    assert len(h["loss_classifier"]) == 20
+    assert np.isfinite(h["loss_classifier"]).all()
+    assert "epochs_per_sec_steady" in h

@@ -139,8 +139,13 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
         # objective (a combination the reference never wired up).
         from ..models import QuantumBornMachine
 
+        edges = None
+        if ansatz == "bn_structured":
+            from ..sim.structured import latent_edges
+
+            edges = latent_edges(bn, latent)
         qbm = QuantumBornMachine(num_qubits, ansatz_layers=layers,
-                                 ansatz_type="hardware_efficient",
+                                 ansatz_type=ansatz, edges=edges,
                                  init_method="small_random")
         model = AdversarialVariationalInference(
             bn, latent, list(observed.keys()),

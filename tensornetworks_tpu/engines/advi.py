@@ -123,7 +123,8 @@ class AdversarialVariationalInference:
               profile_dir: Optional[str] = None,
               chunk_epochs: Optional[int] = None,
               resume_state_path: Optional[str] = None,
-              fail_after_chunks: Optional[int] = None) -> dict:
+              fail_after_chunks: Optional[int] = None,
+              log_p_floor: Optional[float] = None) -> dict:
         """``chunk_epochs``: split the epoch scan into separately dispatched
         device programs of at most this many epochs — bit-identical to the
         single scan (the carry: both parameter sets, both optimizer states
@@ -159,7 +160,19 @@ class AdversarialVariationalInference:
             self.classifier_input_dim == n + self.num_observed_vars
             and self.num_observed_vars > 0
         )
-        log_p_table = jnp.asarray(self._log_p_x_given_z_table(x_observation_dict), dtype=dtype)
+        log_p_np = self._log_p_x_given_z_table(x_observation_dict)
+        if log_p_floor is not None:
+            # Large-n enablement (round 4, documented deviation): the
+            # reference's ±inf edge cases (adversarial_vi.py:91-100) are
+            # exact at n=3 but break REINFORCE from n ≈ 16 — near-uniform
+            # early Born samples hit prior(z) < 1e-9 states (min prior
+            # ~0.05^n for the random-CPT networks), one ±inf reward makes
+            # the whole batch loss non-finite, and the NaN guard then skips
+            # EVERY update (measured at 16q: TVD frozen at init for 3000
+            # epochs). A finite clamp at ±log_p_floor keeps the reward
+            # signal and is exact wherever the reference's table is finite.
+            log_p_np = np.clip(log_p_np, -log_p_floor, log_p_floor)
+        log_p_table = jnp.asarray(log_p_np, dtype=dtype)
         posterior_vec = _posterior_vec_from(true_posterior_for_tvd, n, dtype)
         track_tvd = posterior_vec is not None
 

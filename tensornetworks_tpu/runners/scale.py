@@ -161,7 +161,11 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
                               gradient_clip_norm=5.0, baseline_decay=0.95,
                               adam_betas=(0.5, 0.999),
                               chunk_epochs=chunk_epochs,
-                              resume_state_path=resume_state_path)
+                              resume_state_path=resume_state_path,
+                              # finite log p(x|z) clamp: the reference's
+                              # ±inf edge semantics freeze REINFORCE from
+                              # n ≈ 16 (engines/advi.py log_p_floor note)
+                              log_p_floor=60.0)
     elif objective == "sampled-ksd":
         # Past-exact-enumeration path (no reference counterpart): sampled
         # U-statistic KSD with CPT-factored scores (engines/sampled.py).

@@ -261,3 +261,30 @@ def test_chunk_carry_has_no_weak_types():
     assert np.isfinite(out["best_tvd"])
     # one trace for the chunk program — NOT one per chunk
     assert sum(traces) == 1, f"chunk program retraced {sum(traces)} times"
+
+
+def test_advi_log_p_floor_noop_when_finite(sprinkler):
+    """log_p_floor (round-4 large-n REINFORCE enablement) is exact wherever
+    the reference's table is finite: on Sprinkler (all finite) a huge floor
+    reproduces the unfloored run bit-identically."""
+    bn, post = sprinkler
+
+    def mk():
+        return AdversarialVariationalInference(
+            bn, ["C", "S", "R"], ["W"],
+            born_machine_config={"use_logits": True, "conditioning_dim": 0,
+                                 "init_method": "small_random"},
+            classifier_config={"hidden_dims": [8], "use_batch_norm": False},
+            seed=0)
+
+    kw = dict(num_epochs=25, batch_size=32, lr_born_machine=3e-3,
+              lr_classifier=3e-2, verbose=False, true_posterior_for_tvd=post)
+    e1, e2 = mk(), mk()
+    h1 = e1.train({"W": 1}, **kw)
+    h2 = e2.train({"W": 1}, **kw, log_p_floor=60.0)
+    np.testing.assert_array_equal(h1["loss_born_machine"],
+                                  h2["loss_born_machine"])
+    # And the clamp really flattens infinities when they exist.
+    table = e1._log_p_x_given_z_table({"W": 1})
+    clamped = np.clip(table, -60.0, 60.0)
+    assert np.isfinite(clamped).all()

@@ -1,8 +1,9 @@
 """LR-annealed warm restarts for AMORTIZED structured inference at 16q.
 
 The amortized engine keeps its params across train() calls, so phases chain
-naturally (no best-snapshot restore in this engine — restarts are from the
-final params of the previous phase). Baseline: 0.166 mean per-observation
+naturally (since round 4 the engine restores the across-run best-mean-TVD
+snapshot, so each phase restarts from the best state; prefer the engine's
+built-in ``lr_phases`` — scripts/quality_amortized16.py — over this probe). Baseline: 0.166 mean per-observation
 TVD at 24000 single-phase epochs (RESULTS.md).
 
 Usage: python scripts/probe_amortized_phases16.py [n] [layers] [length_scale|auto]

@@ -13,7 +13,12 @@ quality is reported as the per-variable posterior-marginal error:
 Reports mean/max |Δp| over the 28 latent bits plus the U-stat floor.
 
 Usage: python scripts/quality28_sampled.py [epochs] [chunk] [shots] [layers]
-           [lr] [--ls X|auto] [--seed K]
+           [lr] [--ls X|auto] [--seed K] [--n N]
+
+``--n`` (default 28) sizes the problem: n=27 is the largest size whose
+training program clears the round-4 remote compiler's tightened AOT HBM
+estimate (the byte-identical n=28 program compiled at 15.6 GiB in round 3
+but is now rejected at 16.11 GiB vs the 15.75 GiB limit — RESULTS.md).
 """
 import os
 import sys
@@ -37,6 +42,8 @@ def main():
         ls = v if v == "auto" else float(v)
     seed = (int(sys.argv[sys.argv.index("--seed") + 1])
             if "--seed" in sys.argv else 0)
+    n = (int(sys.argv[sys.argv.index("--n") + 1])
+         if "--n" in sys.argv else 28)
 
     import jax
     import jax.numpy as jnp
@@ -44,7 +51,6 @@ def main():
     from tensornetworks_tpu import get_random_chain_network
     from tensornetworks_tpu.engines import SampledKSDVariationalInference
 
-    n = 28
     bn = get_random_chain_network(n + 1, seed=11)
     latent = [f"V{i}" for i in range(n)]
     observed = {f"V{n}": 1}

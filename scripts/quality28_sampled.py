@@ -1,4 +1,4 @@
-"""n=28 sampled-KSD long run with a quality surrogate (VERDICT r3 item 3c).
+"""Large-n (default n=28) sampled-KSD long run with a quality surrogate.
 
 Past the exact-enumeration wall no 2^n posterior exists to TVD against, so
 quality is reported as the per-variable posterior-marginal error:
@@ -7,19 +7,19 @@ quality is reported as the per-variable posterior-marginal error:
   vectorized ancestral sampling, consistent, ESS-reported —
   ``core.bayes_net.likelihood_weighted_marginals``);
 - model marginals: EXACT bit marginals of |psi|^2, computed from two axis
-  reductions of the (2^14, 2^14) probs view (no shots noise, no 2^n
-  auxiliary buffer beyond the probs the loss already materializes).
+  reductions of the (2^ceil(n/2), 2^floor(n/2)) probs view (no shots noise,
+  no 2^n auxiliary buffer beyond the probs the loss already materializes).
 
-Reports mean/max |Δp| over the 28 latent bits plus the U-stat floor.
+Reports mean/max |Δp| over the n latent bits plus the U-stat floor.
 
 Usage: python scripts/quality28_sampled.py [epochs] [chunk] [shots] [layers]
            [lr] [--ls X|auto] [--seed K] [--n N]
 
-``--n`` (default 28) sizes the problem: n=27 is the largest size whose
-training program clears the round-4 remote compiler's tightened AOT HBM
-estimate (the byte-identical n=28 program compiled at 15.6 GiB in round 3
-but is now rejected at 16.11 GiB vs the 15.75 GiB limit — RESULTS.md).
+``--n`` sets the problem size (default 28 — the program-diet target size;
+no in-scan TVD eval exists at these sizes, so the training program is the
+loss forward + REINFORCE backward only).
 """
+import argparse
 import os
 import sys
 import time
@@ -30,20 +30,20 @@ import numpy as np
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
-    epochs = int(argv[0]) if len(argv) > 0 else 1200
-    chunk = int(argv[1]) if len(argv) > 1 else 15
-    shots = int(argv[2]) if len(argv) > 2 else 1024
-    layers = int(argv[3]) if len(argv) > 3 else 4
-    lr = float(argv[4]) if len(argv) > 4 else 0.05
-    ls = "auto"
-    if "--ls" in sys.argv:
-        v = sys.argv[sys.argv.index("--ls") + 1]
-        ls = v if v == "auto" else float(v)
-    seed = (int(sys.argv[sys.argv.index("--seed") + 1])
-            if "--seed" in sys.argv else 0)
-    n = (int(sys.argv[sys.argv.index("--n") + 1])
-         if "--n" in sys.argv else 28)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("epochs", nargs="?", type=int, default=1200)
+    ap.add_argument("chunk", nargs="?", type=int, default=15)
+    ap.add_argument("shots", nargs="?", type=int, default=1024)
+    ap.add_argument("layers", nargs="?", type=int, default=4)
+    ap.add_argument("lr", nargs="?", type=float, default=0.05)
+    ap.add_argument("--ls", default="auto",
+                    help="Hamming kernel length scale (float or 'auto')")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n", type=int, default=28)
+    args = ap.parse_args()
+    epochs, chunk, shots = args.epochs, args.chunk, args.shots
+    layers, lr, seed, n = args.layers, args.lr, args.seed, args.n
+    ls = args.ls if args.ls == "auto" else float(args.ls)
 
     import jax
     import jax.numpy as jnp

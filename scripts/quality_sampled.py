@@ -4,8 +4,13 @@ end-to-end estimator validation the unit tests can't give. The exact engine's
 quality at matched wall is the comparison row (RESULTS.md).
 
 Usage: python scripts/quality_sampled.py [n] [--shots M] [--layers L]
-           [--phases epochs:lr,...] [--chunk N] [--ls X|auto]
-           [--ansatz bn_structured] [--seed K]
+           [--phases epochs:lr[:ls],...] [--chunk N] [--ls X|auto]
+           [--ansatz bn_structured] [--seed K] [--baseline loo|cv]
+
+Each phase restarts the cosine schedule from the previous phase's best
+snapshot; an optional third component sets that phase's kernel length scale
+(bandwidth annealing). The shot-noise PRNG is re-seeded per phase so
+restarts draw fresh measurement noise.
 """
 import os
 import sys
@@ -33,9 +38,11 @@ def main():
         ls = float(ls)
     ansatz = opt("--ansatz", "bn_structured")
     seed = opt("--seed", 0, int)
+    baseline = opt("--baseline", "loo")
 
     from tensornetworks_tpu import get_random_chain_network
     from tensornetworks_tpu.engines import SampledKSDVariationalInference
+    from tensornetworks_tpu.ops.hamming import resolve_length_scale
 
     bn = get_random_chain_network(n + 1, seed=0)
     latent = [f"V{i}" for i in range(n)]
@@ -45,24 +52,30 @@ def main():
     eng = SampledKSDVariationalInference(
         bn, latent, list(observed), qbm_ansatz_layers=layers,
         qbm_ansatz_type=ansatz, num_samples=shots, seed=seed,
-        base_kernel_length_scale=ls)
+        base_kernel_length_scale=ls, grad_baseline=baseline)
     print(f"n={n} {ansatz} L={layers} shots={shots} "
-          f"ls={eng.length_scale:.4g} phases={spec}", flush=True)
+          f"ls={eng.length_scale:.4g} phases={spec} baseline={baseline}",
+          flush=True)
 
     phases = [tuple(p.split(":")) for p in spec.split(",")]
     best = np.inf
     t0 = time.perf_counter()
     steady = None
-    for p_epochs, p_lr in phases:
+    for pi, phase in enumerate(phases):
+        p_epochs, p_lr = phase[0], phase[1]
+        if len(phase) == 3:  # bandwidth annealing: per-phase length scale
+            eng.length_scale = resolve_length_scale(
+                phase[2] if phase[2] == "auto" else float(phase[2]), n)
         h = eng.train(observed, num_epochs=int(p_epochs),
                       lr_born_machine=float(p_lr), verbose=False,
                       true_posterior_for_tvd=post, chunk_epochs=chunk,
-                      seed=seed)
+                      seed=seed + 7919 * pi)  # fresh shot noise per phase
         best = min(best, eng.best_tvd_)
         if steady is None:
             steady = h.get("epochs_per_sec_steady", h["epochs_per_sec"])
-        print(f"  phase ({p_epochs}@{p_lr}): best exact TVD "
-              f"{eng.best_tvd_:.4f}", flush=True)
+        print(f"  phase ({p_epochs}@{p_lr}"
+              f"{':' + str(eng.length_scale) if len(phase) == 3 else ''}): "
+              f"best exact TVD {eng.best_tvd_:.4f}", flush=True)
     dt = time.perf_counter() - t0
     print(f"RESULT n={n} {ansatz} L={layers} shots={shots} "
           f"ls={eng.length_scale:.4g} phases={spec} wall={dt/60:.1f}min "

@@ -35,15 +35,30 @@ def make_sharded_ksd_step(qbm: QuantumBornMachine, op: SteinOperator, mesh: Mesh
     for gates on the sharded leading bits) instead of replicating the whole
     2^n state per device. For explicit manual control of the collective
     schedule see ``parallel.distributed_train`` (shard_map path)."""
-    s_sh = state_sharding(mesh, ndim=2, axis=0)
     v_sh = state_sharding(mesh, ndim=1, axis=0)
     rep = replicated(mesh)
 
-    S = jax.device_put(op.S, s_sh)
-    B = jax.device_put(op.B, s_sh)
     gram = jax.device_put(op.gram, state_sharding(mesh, ndim=2, axis=0)) if op.dense else None
+    # Production matvec form only (VERDICT r4 item 7): the n+1-column gcorr
+    # decomposition, its tables sharded over the state axis. Sharding the
+    # flat 2^n index = sharding the leading (row) bits of the (R, C) view:
+    # St (n, 2^n) and Rv (2^n,) shard their state axis, Sfr/Sfc (b, R, C)
+    # shard R. GSPMD inserts the cross-shard collectives for the leading-bit
+    # flips from these constraints.
+    from ..ops.stein import ksd_quadform_gcorr
 
-    from ..ops.stein import stein_matvec
+    if not op.dense and op.gcorr is None:
+        raise ValueError("make_sharded_ksd_step needs the gcorr-tables "
+                         "operator path (dense=False, use_pallas=False)")
+    dtype = op.gram.dtype if op.dense else op.gcorr.St.dtype
+    tables = None
+    if not op.dense:
+        t = op.gcorr
+        tables = type(t)(
+            St=jax.device_put(t.St, state_sharding(mesh, ndim=2, axis=1)),
+            Sfr=jax.device_put(t.Sfr, state_sharding(mesh, ndim=3, axis=1)),
+            Sfc=jax.device_put(t.Sfc, state_sharding(mesh, ndim=3, axis=1)),
+            Rv=jax.device_put(t.Rv, v_sh))
 
     if qbm.backend in ("blocked", "pallas2d") and qbm.conditioning_dim == 0:
         from ..sim.blocked import make_blocked_probs_fn
@@ -56,13 +71,15 @@ def make_sharded_ksd_step(qbm: QuantumBornMachine, op: SteinOperator, mesh: Mesh
         probs_fn = qbm.probs
 
     def loss_fn(params):
-        q = probs_fn(params).astype(op.S.dtype)
+        q = probs_fn(params).astype(dtype)
         q = jax.lax.with_sharding_constraint(q, v_sh)
         if gram is not None:
-            y = gram @ q
+            quad = jnp.dot(q, gram @ q)
         else:
-            y = stein_matvec(q, S, B, op.num_vars, op.length_scale, op.group)
-        return jnp.sqrt(jnp.clip(jnp.dot(q, y), 1e-12, None))
+            quad = ksd_quadform_gcorr(q, tables, op.num_vars,
+                                      op.length_scale, op.group,
+                                      op._gcorr_kron, op._gcorr_corr)
+        return jnp.sqrt(jnp.clip(quad, 1e-12, None))
 
     @partial(jax.jit, out_shardings=(rep, None, rep))
     def step(params, opt_state):

@@ -6,6 +6,11 @@ quality at matched wall is the comparison row (RESULTS.md).
 Usage: python scripts/quality_sampled.py [n] [--shots M] [--layers L]
            [--phases epochs:lr[:ls],...] [--chunk N] [--ls X|auto]
            [--ansatz bn_structured] [--seed K] [--baseline loo|cv]
+           [--no-eval-reuse]
+
+The per-epoch exact-TVD eval reuses the loss forward by default (halves
+statevector forwards per epoch; pass --no-eval-reuse for the two-forward
+round-4 timing semantics).
 
 Each phase restarts the cosine schedule from the previous phase's best
 snapshot; an optional third component sets that phase's kernel length scale
@@ -39,6 +44,7 @@ def main():
     ansatz = opt("--ansatz", "bn_structured")
     seed = opt("--seed", 0, int)
     baseline = opt("--baseline", "loo")
+    eval_reuse = "--no-eval-reuse" not in sys.argv
 
     from tensornetworks_tpu import get_random_chain_network
     from tensornetworks_tpu.engines import SampledKSDVariationalInference
@@ -69,6 +75,7 @@ def main():
         h = eng.train(observed, num_epochs=int(p_epochs),
                       lr_born_machine=float(p_lr), verbose=False,
                       true_posterior_for_tvd=post, chunk_epochs=chunk,
+                      reuse_loss_forward_for_eval=eval_reuse,
                       seed=seed + 7919 * pi)  # fresh shot noise per phase
         best = min(best, eng.best_tvd_)
         if steady is None:

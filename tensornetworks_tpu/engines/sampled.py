@@ -48,8 +48,9 @@ from ..core.bayes_net import BayesianNetwork
 from ..core.factors import make_latent_log_joint_fn
 from ..models.born_quantum import QuantumBornMachine
 from ..ops.hamming import resolve_length_scale
-from ..ops.stein_sampled import (reinforce_surrogate, score_at_samples,
-                                 stein_gram_samples, ksd_ustat)
+from ..ops.stein_sampled import (reinforce_surrogate, reinforce_surrogate_cv,
+                                 score_at_samples, stein_gram_samples,
+                                 ksd_ustat)
 from ..sim.sampling import gather_2d, sample_indices, sample_indices_2d
 from ..core.bits import jnp_index_to_bits
 from .common import (force_fetch, global_norm, guarded_update,
@@ -113,9 +114,9 @@ class SampledKSDVariationalInference:
         if sampling not in ("flat", "two_stage"):
             raise ValueError(f"sampling must be flat|two_stage|auto, got {sampling!r}")
         self.sampling = sampling
-        if grad_baseline not in ("loo", "mean", "none"):
+        if grad_baseline not in ("loo", "mean", "none", "cv"):
             raise ValueError(
-                f"grad_baseline must be loo|mean|none, got {grad_baseline!r}")
+                f"grad_baseline must be loo|mean|none|cv, got {grad_baseline!r}")
         self.grad_baseline = grad_baseline
         self.history_: Optional[dict] = None
 
@@ -124,7 +125,16 @@ class SampledKSDVariationalInference:
               true_posterior_for_tvd=None, use_lr_scheduler: bool = True,
               gradient_clip_norm: float = 10.0, optimizer_type: str = "adam",
               adam_betas=(0.9, 0.999), seed: Optional[int] = None,
-              chunk_epochs: Optional[int] = None) -> dict:
+              chunk_epochs: Optional[int] = None,
+              reuse_loss_forward_for_eval: bool = False) -> dict:
+        """``reuse_loss_forward_for_eval``: same semantics as the exact
+        engines (engines/ksd.py run_ksd_scan) — epoch t's loss-forward
+        probabilities ARE epoch t−1's post-update distribution, so the
+        per-epoch exact-TVD eval consumes the loss forward instead of running
+        a second statevector forward, halving forwards per epoch (the
+        dominant per-epoch cost at n ≥ 24, where the two blocked forwards
+        dwarf the (M, M) Gram). The final epoch is evaluated once after the
+        scan; reported best/TVD histories shift one epoch later."""
         n, M = self.num_latent_vars, self.num_samples
         log_joint_z = make_latent_log_joint_fn(
             self.bn, self.latent_vars_names, x_observation_dict)
@@ -138,13 +148,23 @@ class SampledKSDVariationalInference:
         two_stage = self.sampling == "two_stage"
         rb = (n + 1) // 2
         R, C = 1 << rb, 1 << (n - rb)
+        use_cv = self.grad_baseline == "cv"
+        if use_cv:
+            from ..core.bits import all_bitstrings
+
+            # Small (2^⌈n/2⌉, ⌈n/2⌉) bit matrices for the exact differentiable
+            # bit marginals E_qθ[z] via two axis reductions of the (R, C)
+            # probs view — never a (2^n, n) matrix. Variable 0 is the MSB of
+            # the flat index = the MSB of the row index (core/bits.py).
+            Br = jnp.asarray(all_bitstrings(rb, np.float32))
+            Bc = jnp.asarray(all_bitstrings(n - rb, np.float32))
 
         def epoch_losses(params, key):
             q = bm.probs(params).astype(jnp.float32)
+            P2 = q.reshape(R, C)
             if two_stage:
                 # Measurement-shot path: (R, C) super-block sampling + the
                 # two-level gather for log q — no 2^n CDF / flat scatter.
-                P2 = q.reshape(R, C)
                 idx, r, c = sample_indices_2d(
                     key, jax.lax.stop_gradient(P2), M)
                 q_at = gather_2d(P2, r, c)
@@ -157,11 +177,19 @@ class SampledKSDVariationalInference:
             gram = stein_gram_samples(S_x.astype(jnp.float32), Z, n,
                                       self.length_scale)
             est = ksd_ustat(gram)
-            surrogate = reinforce_surrogate(gram, log_q, self.grad_baseline)
+            if use_cv:
+                marg = jnp.concatenate([P2.sum(axis=1) @ Br,
+                                        P2.sum(axis=0) @ Bc])
+                surrogate = reinforce_surrogate_cv(gram, log_q, Z, marg)
+            else:
+                surrogate = reinforce_surrogate(gram, log_q,
+                                                self.grad_baseline)
             # Value reads as the U-stat estimate; gradient flows only
             # through the REINFORCE surrogate.
             loss = jax.lax.stop_gradient(est - surrogate) + surrogate
             return loss, q
+
+        reuse_eval = reuse_loss_forward_for_eval and track
 
         def make_step(post):
             def step(carry, epoch):
@@ -171,8 +199,18 @@ class SampledKSDVariationalInference:
                     epoch_losses, has_aux=True)(p, sub)
                 gnorm = global_norm(grads)
                 ok = jnp.isfinite(loss)
-                p, st = guarded_update(optimizer, grads, st, p, ok)
-                if track:
+                if reuse_eval:
+                    # q is the PREVIOUS epoch's post-update distribution
+                    # (epoch 0's is the init — not a best candidate); the
+                    # final epoch is evaluated once after the scan.
+                    tvd = 0.5 * jnp.abs(q - post).sum()
+                    imp = (tvd < bt) & (epoch > 0)
+                    bt = jnp.where(imp, tvd, bt)
+                    be = jnp.where(imp, epoch - 1, be)
+                    bp = tree_select(imp, p, bp)
+                    p, st = guarded_update(optimizer, grads, st, p, ok)
+                elif track:
+                    p, st = guarded_update(optimizer, grads, st, p, ok)
                     q_eval = bm.probs(p).astype(jnp.float32)
                     tvd = 0.5 * jnp.abs(q_eval - post).sum()
                     imp = tvd < bt
@@ -180,6 +218,7 @@ class SampledKSDVariationalInference:
                     be = jnp.where(imp, epoch, be)
                     bp = tree_select(imp, p, bp)
                 else:
+                    p, st = guarded_update(optimizer, grads, st, p, ok)
                     tvd = jnp.asarray(jnp.nan, jnp.float32)
                 return (p, st, k, bt, be, bp), (loss, tvd, gnorm, ~ok)
 
@@ -227,6 +266,17 @@ class SampledKSDVariationalInference:
                 out = (jrun(self.params, key0, posterior_vec) if track
                        else jrun(self.params, key0))
                 params, bt, be, bp, (losses, tvds, gnorms, skipped) = out
+            if reuse_eval:
+                # The scan's TVDs lag one epoch — evaluate the final params
+                # once (the only extra forward in the whole run).
+                tvd_fin = float(jax.jit(
+                    lambda p, pv: 0.5 * jnp.abs(
+                        bm.probs(p).astype(jnp.float32) - pv).sum())(
+                    params, posterior_vec))
+                if tvd_fin < float(bt):
+                    bt = jnp.asarray(tvd_fin, jnp.float32)
+                    be = jnp.asarray(num_epochs - 1, jnp.int32)
+                    bp = params
             force_fetch(losses)
         elapsed = time.perf_counter() - t0
 

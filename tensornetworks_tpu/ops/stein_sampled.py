@@ -15,6 +15,10 @@ hit the memory wall. This module evaluates the *same* Stein kernel
   table, with the reference's zero-probability guard (stein_utils.py:115-136)
   applied in log space.
 - ``ksd_ustat / ksd_vstat`` — unbiased / biased KSD² estimates from a Gram.
+- ``reinforce_surrogate_cv`` — the same estimator with a per-epoch
+  regression control variate (linear in the sample bits, expectation
+  restored exactly through the differentiable bit marginals) — the
+  round-5 variance-reduction lever for the shot-bound n ≥ 24 regime.
 - ``reinforce_surrogate``  — a scalar whose gradient is the score-function
   (REINFORCE) estimator of ∇θ KSD²: since k_p is θ-independent,
   ∇θ E[k_p(z, z')] = 2·E[k_p(z, z') ∇θ log qθ(z)]. With the full
@@ -131,6 +135,64 @@ def reinforce_surrogate(gram: jnp.ndarray, log_q: jnp.ndarray,
     elif baseline not in ("none", "loo"):
         raise ValueError(f"baseline must be loo|mean|none, got {baseline!r}")
     return 2.0 * (w * log_q).mean()
+
+
+def fit_linear_control_variate(w: jnp.ndarray, Z: jnp.ndarray,
+                               ridge: float = 1e-3):
+    """Ridge-fit ``w ≈ w̄ + (Z − Z̄)·β`` on the batch (all stop-gradient).
+
+    The (n, n) normal-equation solve is negligible next to the (M, M) Gram.
+    ``ridge`` is relative to the mean feature variance, so the fit is
+    invariant to the scale of ``w`` and robust to constant bit columns.
+    Returns ``(beta, w_mean, z_mean)``.
+    """
+    w = jax.lax.stop_gradient(w)
+    Z = jax.lax.stop_gradient(Z)
+    M, n = Z.shape
+    zm = Z.mean(axis=0)
+    Zc = Z - zm
+    wc = w - w.mean()
+    C = (Zc.T @ Zc) / M
+    lam = ridge * (jnp.trace(C) / n) + 1e-30
+    beta = jnp.linalg.solve(C + lam * jnp.eye(n, dtype=Z.dtype),
+                            (Zc.T @ wc) / M)
+    return beta, w.mean(), zm
+
+
+def reinforce_surrogate_cv(gram: jnp.ndarray, log_q: jnp.ndarray,
+                           Z: jnp.ndarray, bit_marginals: jnp.ndarray,
+                           ridge: float = 1e-3) -> jnp.ndarray:
+    """REINFORCE surrogate with a regression (linear-in-bits) control variate.
+
+    The LOO weights ``w_i`` are noisy evaluations of the smooth function
+    ``w(z) = E_{z'~q}[k_p(z, z')]`` at the samples; a per-epoch ridge fit
+    ``c(z) = w̄ + (z − z̄)·β`` absorbs the linear part of that function, and
+    the score-function identity ``E_q[c(z) ∇log q(z)] = ∇θ E_qθ[c(z)]``
+    restores the subtracted expectation **exactly** via the differentiable
+    bit marginals ``m(θ) = E_qθ[z]`` (β, w̄, z̄ carry no θ-gradient):
+
+        ∇ surrogate = (2/M) Σ_i (w_i − c(z_i)) ∇log q(z_i) + 2 β·∇m(θ)
+
+    For a FIXED β this is exactly unbiased (test oracle:
+    ``test_reinforce_cv_weighted_gradient_equals_exact``); fitting β on the
+    same batch couples it to each z_i at O(1/M) — the same order as the
+    ``"mean"`` baseline's bias, and in exchange the fit removes the variance
+    the constant-only loo baseline cannot (the z-dependent part of w).
+
+    ``bit_marginals`` must be the exact E_qθ[z] computed from the same
+    differentiable probability vector that produced ``log_q`` (the engines
+    use two axis reductions of the (R, C) probs view — no (2^n, n) matrix).
+    """
+    M = gram.shape[0]
+    g = jax.lax.stop_gradient(gram)
+    row = g.sum(axis=1) - jnp.diag(g)
+    w = row / (M - 1)
+    beta, wm, zm = fit_linear_control_variate(w, Z, ridge)
+    c = wm + (jax.lax.stop_gradient(Z) - zm) @ beta
+    # E_qθ[c] = w̄ + (m(θ) − z̄)·β; only β·m(θ) carries θ-gradient, the
+    # constants are dropped (the engine reads the loss value from the
+    # U-statistic, never from the surrogate).
+    return 2.0 * ((w - c) * log_q).mean() + 2.0 * jnp.dot(beta, bit_marginals)
 
 
 def reinforce_surrogate_weighted(gram: jnp.ndarray, log_q: jnp.ndarray,

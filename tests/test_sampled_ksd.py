@@ -14,8 +14,9 @@ from tensornetworks_tpu.core.factors import (compile_factors,
 from tensornetworks_tpu.engines import SampledKSDVariationalInference
 from tensornetworks_tpu.ops import score_table, stein_gram_dense
 from tensornetworks_tpu.ops.stein_sampled import (
-    ksd_ustat, ksd_vstat, reinforce_surrogate, reinforce_surrogate_weighted,
-    score_at_samples, stein_gram_samples)
+    fit_linear_control_variate, ksd_ustat, ksd_vstat, reinforce_surrogate,
+    reinforce_surrogate_cv, reinforce_surrogate_weighted, score_at_samples,
+    stein_gram_samples)
 
 
 def test_factored_log_joint_matches_dense_table():
@@ -350,6 +351,141 @@ def test_reinforce_loo_baseline_reduces_variance():
     var_none = g_none.var(axis=0).sum()
     var_loo = g_loo.var(axis=0).sum()
     assert var_loo < 0.95 * var_none, (var_loo, var_none)
+
+
+def test_reinforce_cv_weighted_gradient_equals_exact():
+    """Control-variate correction algebra: for ANY fixed c(z) = c0 + z·β,
+    the weighted (full-enumeration) surrogate with the exact-marginal
+    correction term has gradient exactly ∇(qᵀ K_p q) — the subtraction and
+    the restored expectation cancel identically."""
+    n = 5
+    bn = get_random_chain_network(n + 1, seed=1)
+    latent = [f"V{i}" for i in range(n)]
+    obs = {f"V{n}": 1}
+    S = score_table(bn.conditional_joint_table(latent, obs))
+    Kp = jnp.asarray(np.asarray(stein_gram_dense(S, n, 1.0, dtype=jnp.float64)))
+    Zf = jnp.asarray(all_bitstrings(n), dtype=jnp.float64)
+    logits0 = jax.random.normal(jax.random.PRNGKey(0), (1 << n,),
+                                dtype=jnp.float64)
+    beta = jax.random.normal(jax.random.PRNGKey(7), (n,), dtype=jnp.float64)
+    c0 = 0.37
+
+    def exact(logits):
+        q = jax.nn.softmax(logits)
+        return q @ (Kp @ q)
+
+    def surrogate(logits):
+        q = jax.nn.softmax(logits)
+        log_q = jax.nn.log_softmax(logits)
+        gram = stein_gram_samples(jnp.asarray(S), Zf, n, 1.0)
+        g = jax.lax.stop_gradient(gram)
+        w = g @ jax.lax.stop_gradient(q)
+        c = c0 + Zf @ beta
+        marg = q @ Zf  # exact differentiable bit marginals
+        return (2.0 * (jax.lax.stop_gradient(q) * (w - c) * log_q).sum()
+                + 2.0 * jnp.dot(beta, marg))
+
+    g_exact = np.asarray(jax.grad(exact)(logits0))
+    g_est = np.asarray(jax.grad(surrogate)(logits0))
+    np.testing.assert_allclose(g_est, g_exact, rtol=1e-8,
+                               atol=1e-10 * np.abs(g_exact).max())
+
+
+def test_fit_linear_control_variate_recovers_linear_function():
+    # An exactly-linear w is fit exactly (up to the relative ridge).
+    key = jax.random.PRNGKey(2)
+    Z = jax.random.bernoulli(key, 0.5, (256, 6)).astype(jnp.float64)
+    beta_true = jnp.asarray([1.0, -2.0, 0.5, 0.0, 3.0, -1.0], jnp.float64)
+    w = 4.2 + Z @ beta_true
+    beta, wm, zm = fit_linear_control_variate(w, Z, ridge=1e-10)
+    np.testing.assert_allclose(np.asarray(beta), np.asarray(beta_true),
+                               rtol=1e-6, atol=1e-7)
+    pred = float(wm) + (Z - zm) @ beta
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(w),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_reinforce_cv_baseline_reduces_variance_below_loo():
+    """The regression control variate removes the z-dependent part of
+    w(z) = E[k_p(z, ·)] that the constant loo baseline cannot — measured
+    here as a strict empirical gradient-variance reduction vs loo."""
+    n, M = 4, 64
+    Kp, fn = _loo_test_setup(n, bn_seed=6)
+    Zf = jnp.asarray(all_bitstrings(n), dtype=jnp.float64)
+    logits0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (1 << n,),
+                                      dtype=jnp.float64)
+
+    @jax.jit
+    def sampled_grad(key, use_cv):
+        def surr(logits):
+            idx = jax.random.categorical(
+                key, jax.lax.stop_gradient(logits), shape=(M,))
+            log_q = jax.nn.log_softmax(logits)[idx]
+            Z = ((idx[:, None] >> jnp.arange(n - 1, -1, -1)) & 1)
+            Sx = score_at_samples(fn, Z.astype(jnp.int32))
+            gram = stein_gram_samples(Sx, Z.astype(jnp.float64), n, 1.0)
+            marg = jax.nn.softmax(logits) @ Zf
+            return jax.lax.cond(
+                use_cv,
+                lambda: reinforce_surrogate_cv(gram, log_q,
+                                               Z.astype(jnp.float64), marg),
+                lambda: reinforce_surrogate(gram, log_q, "loo"))
+
+        return jax.grad(surr)(logits0)
+
+    keys = [jax.random.PRNGKey(k) for k in range(200)]
+    g_loo = np.stack([np.asarray(sampled_grad(k, False)) for k in keys])
+    g_cv = np.stack([np.asarray(sampled_grad(k, True)) for k in keys])
+    var_loo = g_loo.var(axis=0).sum()
+    var_cv = g_cv.var(axis=0).sum()
+    assert var_cv < 0.9 * var_loo, (var_cv, var_loo)
+    # And the cv estimator's mean stays on the exact gradient (fit-coupling
+    # bias is O(1/M) — small at M=64).
+    def exact(logits):
+        q = jax.nn.softmax(logits)
+        return q @ (Kp @ q)
+    g_exact = np.asarray(jax.grad(exact)(logits0))
+    rel = np.abs(g_cv.mean(axis=0) - g_exact).max() / np.abs(g_exact).max()
+    assert rel < 0.15, rel
+
+
+@pytest.mark.slow
+def test_sampled_engine_cv_baseline_converges():
+    bn = get_sprinkler_network()
+    latent = ["C", "S", "R"]
+    obs = {"W": 1}
+    post = bn.posterior_vector(latent, obs)
+    engine = SampledKSDVariationalInference(
+        bn, latent, ["W"], qbm_ansatz_layers=2, qbm_backend="einsum",
+        num_samples=1024, seed=0, grad_baseline="cv")
+    h = engine.train(obs, num_epochs=500, lr_born_machine=0.05,
+                     verbose=False, true_posterior_for_tvd=post)
+    assert engine.best_tvd_ < 0.08, engine.best_tvd_
+    assert np.isfinite(h["loss_ksd"]).all()
+
+
+def test_sampled_engine_eval_reuse_matches_second_forward():
+    """reuse_loss_forward_for_eval changes no update (same shots, same
+    grads): its TVD history is the plain run's shifted one epoch, and the
+    post-scan final eval restores the identical across-run best."""
+    bn = get_sprinkler_network()
+    latent = ["C", "S", "R"]
+    obs = {"W": 1}
+    post = bn.posterior_vector(latent, obs)
+    kw = dict(num_epochs=60, lr_born_machine=0.05, verbose=False,
+              true_posterior_for_tvd=post)
+    mk = lambda: SampledKSDVariationalInference(
+        bn, latent, ["W"], qbm_ansatz_layers=2, qbm_backend="einsum",
+        num_samples=256, seed=0)
+    e1, e2 = mk(), mk()
+    h1 = e1.train(obs, **kw)
+    h2 = e2.train(obs, **kw, reuse_loss_forward_for_eval=True)
+    np.testing.assert_allclose(h1["loss_ksd"], h2["loss_ksd"],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(h2["tvd"][1:], h1["tvd"][:-1],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(e1.best_tvd_, e2.best_tvd_,
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_reinforce_surrogate_rejects_unknown_baseline():

@@ -4,6 +4,7 @@ from .distill import (fit_born_machine, fit_conditioned_born_machine,
                       marginals_product)
 from .distributed import (DistributedQuantumKSDVariationalInference,
                           DistributedSteinOperator)
+from .distributed_sampled import DistributedSampledKSDVariationalInference
 from .ksd import KSDVariationalInference, QuantumKSDVariationalInference
 from .sampled import SampledKSDVariationalInference
 from .common import cosine_lr_schedule, make_optimizer
@@ -12,6 +13,7 @@ __all__ = [
     "AdversarialVariationalInference",
     "AmortizedKSD",
     "DistributedQuantumKSDVariationalInference",
+    "DistributedSampledKSDVariationalInference",
     "DistributedSteinOperator",
     "KSDVariationalInference",
     "QuantumKSDVariationalInference",

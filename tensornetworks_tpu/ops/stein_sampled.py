@@ -137,14 +137,42 @@ def reinforce_surrogate(gram: jnp.ndarray, log_q: jnp.ndarray,
     return 2.0 * (w * log_q).mean()
 
 
+def _cg_solve(A: jnp.ndarray, b: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Fixed-iteration conjugate gradients for a small SPD system.
+
+    Pure dot/elementwise ops — deliberately NOT ``jnp.linalg.solve``: the
+    LU/QR custom calls compile and run poorly inside scan bodies on the
+    remote (axon) TPU compiler, while n iterations of (n, n) matvecs are
+    negligible and exact in exact arithmetic for an n×n SPD system.
+    """
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rs = r @ r
+
+    def body(_, st):
+        x, r, p, rs = st
+        Ap = A @ p
+        alpha = rs / (p @ Ap + 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = r @ r
+        p = r + (rs_new / (rs + 1e-30)) * p
+        return x, r, p, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
+    return x
+
+
 def fit_linear_control_variate(w: jnp.ndarray, Z: jnp.ndarray,
                                ridge: float = 1e-3):
     """Ridge-fit ``w ≈ w̄ + (Z − Z̄)·β`` on the batch (all stop-gradient).
 
-    The (n, n) normal-equation solve is negligible next to the (M, M) Gram.
-    ``ridge`` is relative to the mean feature variance, so the fit is
-    invariant to the scale of ``w`` and robust to constant bit columns.
-    Returns ``(beta, w_mean, z_mean)``.
+    The (n, n) normal-equation solve (fixed-iteration CG — see
+    :func:`_cg_solve`) is negligible next to the (M, M) Gram. ``ridge`` is
+    relative to the mean feature variance, so the fit is invariant to the
+    scale of ``w`` and robust to constant bit columns. Returns
+    ``(beta, w_mean, z_mean)``.
     """
     w = jax.lax.stop_gradient(w)
     Z = jax.lax.stop_gradient(Z)
@@ -154,8 +182,8 @@ def fit_linear_control_variate(w: jnp.ndarray, Z: jnp.ndarray,
     wc = w - w.mean()
     C = (Zc.T @ Zc) / M
     lam = ridge * (jnp.trace(C) / n) + 1e-30
-    beta = jnp.linalg.solve(C + lam * jnp.eye(n, dtype=Z.dtype),
-                            (Zc.T @ wc) / M)
+    beta = _cg_solve(C + lam * jnp.eye(n, dtype=Z.dtype), (Zc.T @ wc) / M,
+                     iters=max(2 * n, 16))
     return beta, w.mean(), zm
 
 

@@ -14,6 +14,7 @@ from .shard_state import (
     distributed_kron_matvec,
 )
 from .distributed_ansatz import make_distributed_ansatz_probs
+from .distributed_sampled import make_distributed_two_stage_sampler
 from .distributed_train import (
     make_distributed_ksd_train_step,
     make_distributed_stein_matvec,
@@ -33,6 +34,7 @@ __all__ = [
     "make_distributed_ksd_train_step",
     "make_distributed_stein_matvec",
     "make_distributed_stein_quadform",
+    "make_distributed_two_stage_sampler",
     "make_mesh",
     "place_stein_tables",
     "make_sharded_advi_classifier_step",

@@ -110,7 +110,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--lr-phases", type=str, default=None,
                    help="LR-annealed warm restarts: comma-separated "
                         "epochs:lr pairs, e.g. 48000:0.05,24000:0.005,"
-                        "24000:0.001 (overrides --epochs/--lr; ksd only). "
+                        "24000:0.001 (overrides --epochs/--lr; ksd and "
+                        "adversarial objectives). "
                         "Measured 16q best TVD 0.0267 -> 0.0201. An "
                         "optional third field sets the phase's kernel "
                         "length scale (bandwidth annealing), e.g. "

@@ -63,14 +63,17 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
     final TVD at n >= 16 (RESULTS.md bandwidth sweeps); the Sprinkler
     parity runners keep the reference default.
 
-    ``lr_phases`` (ksd objective only): list of ``(epochs, lr)`` or
-    ``(epochs, lr, length_scale)`` — LR-
+    ``lr_phases`` (ksd and adversarial objectives): list of ``(epochs, lr)``
+    or ``(epochs, lr, length_scale)`` — LR-
     annealed warm restarts. Each phase restarts the cosine schedule from the
     previous phase's best-TVD snapshot at its own peak LR; overrides
     ``num_epochs``/``lr``. Measured at 16q: (48000, 0.05), (24000, 0.005),
     (24000, 0.001) reaches best TVD 0.0201 vs 0.0267 single-phase
-    (RESULTS.md). The returned history is the final phase's; the model is
-    left restored at the across-phase best parameters."""
+    (RESULTS.md). For the adversarial objective the discriminator LR stays
+    10x the Born LR per phase and the length-scale field is ignored (no
+    kernel); each phase restarts REINFORCE from the best snapshot with
+    fresh sample noise. The returned history is the final phase's; the
+    model is left restored at the across-phase best parameters."""
     bn, latent, observed = make_scale_problem(num_qubits, seed)
     # Exact posterior tracking is cheap up to ~20 vars (dense 2^n vector).
     if track_tvd is None:
@@ -154,18 +157,40 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
                                                max(num_qubits, 16)]},
             seed=seed,
         )
-        history = model.train(observed, num_epochs=num_epochs, batch_size=256,
-                              lr_born_machine=lr, lr_classifier=10 * lr,
-                              k_classifier_steps=3, k_born_steps=1, verbose=verbose,
-                              true_posterior_for_tvd=posterior,
-                              gradient_clip_norm=5.0, baseline_decay=0.95,
-                              adam_betas=(0.5, 0.999),
-                              chunk_epochs=chunk_epochs,
-                              resume_state_path=resume_state_path,
-                              # finite log p(x|z) clamp: the reference's
-                              # ±inf edge semantics freeze REINFORCE from
-                              # n ≈ 16 (engines/advi.py log_p_floor note)
-                              log_p_floor=60.0)
+        # LR-annealed warm restarts (round 5): same semantics as the KSD
+        # branch — each phase restarts both cosine schedules from the
+        # previous phase's best-TVD snapshot (train() restores it into
+        # model.born_params / classifier_vars) at its own peak LR. A phase
+        # entry's optional third element is ignored here (no kernel to
+        # anneal under this objective).
+        adv_phases = ([(int(p[0]), float(p[1])) for p in lr_phases]
+                      if lr_phases else [(num_epochs, lr)])
+        best_tvd, best_born, best_clf = np.inf, None, None
+        for pi, (p_epochs, p_lr) in enumerate(adv_phases):
+            history = model.train(observed, num_epochs=p_epochs,
+                                  batch_size=256,
+                                  lr_born_machine=p_lr, lr_classifier=10 * p_lr,
+                                  k_classifier_steps=3, k_born_steps=1,
+                                  verbose=verbose,
+                                  true_posterior_for_tvd=posterior,
+                                  gradient_clip_norm=5.0, baseline_decay=0.95,
+                                  adam_betas=(0.5, 0.999),
+                                  chunk_epochs=chunk_epochs,
+                                  resume_state_path=resume_state_path,
+                                  seed=seed + 7919 * pi,
+                                  # finite log p(x|z) clamp: the reference's
+                                  # ±inf edge semantics freeze REINFORCE from
+                                  # n ≈ 16 (engines/advi.py log_p_floor note)
+                                  log_p_floor=60.0)
+            if posterior is not None and model.best_tvd_ < best_tvd:
+                best_tvd = model.best_tvd_
+                best_born, best_clf = model.born_params, model.classifier_vars
+            if verbose and len(adv_phases) > 1:
+                print(f"phase ({p_epochs} epochs @ lr {p_lr}): "
+                      f"best TVD {model.best_tvd_:.6f}")
+        if best_born is not None:
+            model.born_params, model.classifier_vars = best_born, best_clf
+            model.best_tvd_ = best_tvd
     elif objective == "sampled-ksd":
         # Past-exact-enumeration path (no reference counterpart): sampled
         # U-statistic KSD with CPT-factored scores (engines/sampled.py).

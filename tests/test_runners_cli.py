@@ -38,6 +38,20 @@ def test_adversarial_runner_smoke():
     assert np.isfinite(out["final_tvd"])
 
 
+def test_adversarial_scale_lr_phases():
+    """Annealed warm restarts on the adversarial objective (round-5): each
+    phase restarts from the best snapshot; the across-phase best is kept."""
+    out = run_scale_experiment(num_qubits=4, layers=2, objective="adversarial",
+                               lr_phases=[(25, 5e-3), (15, 1e-3)],
+                               verbose=False, seed=0)
+    model = out["model"]
+    assert np.isfinite(model.best_tvd_)
+    # The final phase's history is returned (15 epochs).
+    assert len(out["history"]["tvd"]) == 15
+    # The restored best is at least as good as the final phase's own best.
+    assert model.best_tvd_ <= float(np.nanmin(out["history"]["tvd"])) + 1e-9
+
+
 def test_cli_parser():
     p = build_parser()
     args = p.parse_args(["quantum-ksd", "--epochs", "5", "--layers", "2"])

@@ -88,9 +88,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--num-samples", type=int, default=1024,
                    help="shots per epoch for --objective sampled-ksd")
     s.add_argument("--grad-baseline", type=str, default="loo",
-                   choices=["loo", "mean", "none"],
+                   choices=["loo", "mean", "none", "cv"],
                    help="REINFORCE baseline for --objective sampled-ksd: "
-                        "loo is exactly unbiased (default)")
+                        "loo is exactly unbiased (default); cv adds a "
+                        "ridge-fit control variate (measured not better "
+                        "than loo at 16q, RESULTS.md)")
+    s.add_argument("--adv-batch-size", type=int, default=256,
+                   help="samples per REINFORCE batch (adversarial "
+                        "objective) — the gradient-noise lever, like "
+                        "--num-samples for sampled-ksd")
+    s.add_argument("--adv-k-classifier", type=int, default=3,
+                   help="discriminator steps per Born step (adversarial)")
+    s.add_argument("--adv-lr-classifier-mult", type=float, default=10.0,
+                   help="lr_D = mult * lr_G per phase (adversarial)")
     s.add_argument("--checkpoint", type=str, default=None,
                    help="Orbax checkpoint path written after training")
     s.add_argument("--warm-start", type=str, default=None,
@@ -221,7 +231,10 @@ def main(argv=None):
                                                 for p in args.lr_phases.split(",")]
                                                if args.lr_phases else None),
                                     track_tvd={"auto": None, "on": True,
-                                               "off": False}[args.track_tvd])
+                                               "off": False}[args.track_tvd],
+                                    adv_batch_size=args.adv_batch_size,
+                                    adv_k_classifier=args.adv_k_classifier,
+                                    adv_lr_classifier_mult=args.adv_lr_classifier_mult)
     if args.command == "amortized":
         from .amortized import run_amortized_experiment
 

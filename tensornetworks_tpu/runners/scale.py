@@ -43,7 +43,10 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
                          warm_start: Optional[str] = None,
                          warm_start_epochs: int = 2000,
                          lr_phases=None,
-                         length_scale="auto"):
+                         length_scale="auto",
+                         adv_batch_size: int = 256,
+                         adv_k_classifier: int = 3,
+                         adv_lr_classifier_mult: float = 10.0):
     """``chunk_epochs``/``resume_state_path``/``temper_betas``/``backend``
     plumb straight into the quantum KSD engine (see
     ``QuantumKSDVariationalInference.train``); ``num_samples`` applies to
@@ -73,7 +76,13 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
     10x the Born LR per phase and the length-scale field is ignored (no
     kernel); each phase restarts REINFORCE from the best snapshot with
     fresh sample noise. The returned history is the final phase's; the
-    model is left restored at the across-phase best parameters."""
+    model is left restored at the across-phase best parameters.
+
+    ``adv_batch_size``/``adv_k_classifier``/``adv_lr_classifier_mult``
+    (adversarial objective only): REINFORCE batch size (the gradient-noise
+    lever — the adversarial analogue of sampled-KSD shots), discriminator
+    steps per Born step, and the per-phase lr_D/lr_G ratio. Defaults are
+    the reference's Sprinkler settings (256 / 3 / 10)."""
     bn, latent, observed = make_scale_problem(num_qubits, seed)
     # Exact posterior tracking is cheap up to ~20 vars (dense 2^n vector).
     if track_tvd is None:
@@ -168,9 +177,11 @@ def run_scale_experiment(num_qubits: int = 8, layers: int = 4, num_epochs: int =
         best_tvd, best_born, best_clf = np.inf, None, None
         for pi, (p_epochs, p_lr) in enumerate(adv_phases):
             history = model.train(observed, num_epochs=p_epochs,
-                                  batch_size=256,
-                                  lr_born_machine=p_lr, lr_classifier=10 * p_lr,
-                                  k_classifier_steps=3, k_born_steps=1,
+                                  batch_size=adv_batch_size,
+                                  lr_born_machine=p_lr,
+                                  lr_classifier=adv_lr_classifier_mult * p_lr,
+                                  k_classifier_steps=adv_k_classifier,
+                                  k_born_steps=1,
                                   verbose=verbose,
                                   true_posterior_for_tvd=posterior,
                                   gradient_clip_norm=5.0, baseline_decay=0.95,

@@ -6,7 +6,7 @@ quality at matched wall is the comparison row (RESULTS.md).
 Usage: python scripts/quality_sampled.py [n] [--shots M] [--layers L]
            [--phases epochs:lr[:ls],...] [--chunk N] [--ls X|auto]
            [--ansatz bn_structured] [--seed K] [--baseline loo|cv]
-           [--no-eval-reuse]
+           [--no-eval-reuse] [--verbose]
 
 The per-epoch exact-TVD eval reuses the loss forward by default (halves
 statevector forwards per epoch; pass --no-eval-reuse for the two-forward
@@ -73,7 +73,8 @@ def main():
             eng.length_scale = resolve_length_scale(
                 phase[2] if phase[2] == "auto" else float(phase[2]), n)
         h = eng.train(observed, num_epochs=int(p_epochs),
-                      lr_born_machine=float(p_lr), verbose=False,
+                      lr_born_machine=float(p_lr),
+                      verbose="--verbose" in sys.argv,
                       true_posterior_for_tvd=post, chunk_epochs=chunk,
                       reuse_loss_forward_for_eval=eval_reuse,
                       seed=seed + 7919 * pi)  # fresh shot noise per phase

@@ -258,6 +258,11 @@ class SampledKSDVariationalInference:
                     chunk_seconds.append((int(epochs.shape[0]),
                                           time.perf_counter() - tc))
                     parts.append(o)
+                    if verbose and len(chunk_seconds) % 10 == 0:
+                        done = sum(e for e, _ in chunk_seconds)
+                        print(f"  [chunk] {done}/{num_epochs} epochs "
+                              f"{time.perf_counter() - t0:.0f}s "
+                              f"best_tvd={float(carry[3]):.4f}", flush=True)
                 hist = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
                 params, _, _, bt, be, bp = carry
                 losses, tvds, gnorms, skipped = hist

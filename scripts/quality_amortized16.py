@@ -11,7 +11,7 @@ posteriors at once" from "the amortized KSD objective doesn't find them".
 
 Usage: python scripts/quality_amortized16.py [n] [layers]
            [--ls X|auto] [--phases epochs:lr,...] [--chunk N] [--bound]
-           [--lr X] [--seed K]
+           [--lr X] [--seed K] [--learned-embedding] [--per-layer-scales]
 """
 import os
 import sys
@@ -65,11 +65,12 @@ def main():
         return out
 
     learned = "--learned-embedding" in sys.argv
+    per_layer = "--per-layer-scales" in sys.argv
     qbm = QuantumBornMachine(
         n, ansatz_layers=layers, ansatz_type="bn_structured",
         conditioning_dim=len(observed_names),
         edges=latent_edges(bn, latent), cond_reupload=True,
-        cond_learned_embedding=learned)
+        cond_learned_embedding=learned, cond_embed_per_layer=per_layer)
 
     if "--bound" in sys.argv:
         from tensornetworks_tpu.engines import fit_conditioned_born_machine
@@ -78,7 +79,8 @@ def main():
         best, h = fit_conditioned_born_machine(
             qbm, targets, X, num_epochs=2000, lr=0.05, seed=seed,
             chunk_epochs=min(chunk, 2000))
-        print(f"BOUND n={n} L={layers} learned={learned} conditioned direct "
+        print(f"BOUND n={n} L={layers} learned={learned} "
+              f"per_layer={per_layer} conditioned direct "
               f"fit: best mean TVD {h['best_mean_tvd']:.4f} "
               f"[{time.perf_counter()-t0:.0f}s]", flush=True)
         return
@@ -99,7 +101,7 @@ def main():
         q = np.asarray(eng.posterior_for(obs))
         tvds.append(0.5 * np.abs(q - post).sum())
     print(f"RESULT n={n} L={layers} ls={eng.length_scale:.4g} phases={spec} "
-          f"learned={learned} wall={dt/60:.1f}min "
+          f"learned={learned} per_layer={per_layer} wall={dt/60:.1f}min "
           f"steady_eps={h.get('epochs_per_sec_steady', float('nan')):.1f} "
           f"best_mean_tvd={eng.best_mean_tvd_:.4f}", flush=True)
     for obs, tv in zip(observations, tvds):

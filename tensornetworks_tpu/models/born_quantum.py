@@ -39,7 +39,8 @@ class QuantumBornMachine:
                  backend: str = "auto", block: int = 8, edges=None,
                  remat_layers: bool = False, grad_method: str = "autodiff",
                  cond_reupload: bool = False,
-                 cond_learned_embedding: bool = False):
+                 cond_learned_embedding: bool = False,
+                 cond_embed_per_layer: bool = False):
         """``backend``: 'blocked' (TPU-layout-friendly block-matmul executor,
         the default for n >= 6), 'einsum' (per-gate contraction path), or
         'auto'. Both produce identical distributions (tests/test_blocked.py).
@@ -81,9 +82,24 @@ class QuantumBornMachine:
                 raise ValueError("cond_learned_embedding builds 2^d "
                                  f"interaction features; d={conditioning_dim} "
                                  "is too large")
+        # Per-layer embedding scales (round 5, the next amortized-capacity
+        # lever): each re-uploaded wall l gets its own learned per-qubit
+        # scale on the shared embedding map — angles_{l,q} =
+        # s_{l,q} · (W φ(x))_q. Adds L·n params initialized to 1 (the model
+        # starts identical to the shared-wall one). Lets the circuit vary
+        # how strongly each layer re-reads the evidence — the fixed shared
+        # wall forces every layer to inject the same rotation.
+        self.cond_embed_per_layer = cond_embed_per_layer
+        if cond_embed_per_layer and not (cond_learned_embedding
+                                         and cond_reupload):
+            raise ValueError("cond_embed_per_layer requires "
+                             "cond_learned_embedding and cond_reupload")
         self._num_embed_params = (
             num_latent_vars * (1 << conditioning_dim)
             if cond_learned_embedding else 0)
+        self._num_scale_params = (ansatz_layers * num_latent_vars
+                                  if cond_embed_per_layer else 0)
+        self._num_embed_params += self._num_scale_params
         if grad_method not in ("autodiff", "adjoint"):
             raise ValueError(f"grad_method must be autodiff|adjoint, got {grad_method!r}")
         if grad_method == "adjoint" and ansatz_type == "bn_structured":
@@ -222,7 +238,11 @@ class QuantumBornMachine:
         W = np.zeros((n, 1 << d), dtype=np.float32)
         for q in range(n):
             W[q, 1 << (q % d)] = np.pi
-        return jnp.concatenate([circ, jnp.asarray(W.reshape(-1))])
+        parts = [circ, jnp.asarray(W.reshape(-1))]
+        if self._num_scale_params:
+            # Per-layer scales start at 1: identical to the shared wall.
+            parts.append(jnp.ones(self._num_scale_params, dtype=jnp.float32))
+        return jnp.concatenate(parts)
 
     def _interaction_features(self, x: jnp.ndarray) -> jnp.ndarray:
         """φ(x): all 2^d subset products Π_{j∈S} x_j (φ_∅ = 1)."""
@@ -241,9 +261,16 @@ class QuantumBornMachine:
         n = self.num_latent_vars
         x = jnp.asarray(x_condition, dtype=jnp.float32).reshape(-1)
         if self._num_embed_params:
-            W = params[self.num_circuit_params:].reshape(
-                n, 1 << self.conditioning_dim)
-            return W @ self._interaction_features(x)
+            nw = n * (1 << self.conditioning_dim)
+            tail = params[self.num_circuit_params:]
+            W = tail[:nw].reshape(n, 1 << self.conditioning_dim)
+            base = W @ self._interaction_features(x)
+            if self._num_scale_params:
+                # (layers, n) per-layer wall angles — the structured
+                # executors apply wall l before layer l.
+                s = tail[nw:].reshape(self.ansatz_layers, n)
+                return s * base[None, :]
+            return base
         reps = -(-n // x.shape[0])
         return jnp.pi * jnp.tile(x, reps)[:n]
 

@@ -24,7 +24,9 @@ def run_amortized_experiment(num_qubits: int = 4, num_epochs: int = 1500,
                              verbose: bool = True, mesh=None,
                              reupload: bool = False,
                              length_scale="auto",
-                             chunk_epochs=None, lr_phases=None):
+                             chunk_epochs=None, lr_phases=None,
+                             learned_embedding: bool = False,
+                             embed_per_layer: bool = False):
     bn, latent, observed = make_scale_problem(num_qubits, seed)
     obs_var = list(observed.keys())[0]
     observations = [{obs_var: 0}, {obs_var: 1}]
@@ -37,7 +39,9 @@ def run_amortized_experiment(num_qubits: int = 4, num_epochs: int = 1500,
                  else None)
         qbm = QuantumBornMachine(num_qubits, ansatz_layers=layers,
                                  conditioning_dim=1, ansatz_type=ansatz,
-                                 edges=edges, cond_reupload=reupload)
+                                 edges=edges, cond_reupload=reupload,
+                                 cond_learned_embedding=learned_embedding,
+                                 cond_embed_per_layer=embed_per_layer)
         model = AmortizedKSD(bn, latent, [obs_var], born_machine=qbm,
                              seed=seed, base_kernel_length_scale=length_scale)
     else:

@@ -163,6 +163,13 @@ def build_parser() -> argparse.ArgumentParser:
     am.add_argument("--lr-phases", type=str, default=None,
                     help="epochs:lr[:ls] phases, as in scale --lr-phases")
     am.add_argument("--entropy-weight", type=float, default=1e-3)
+    am.add_argument("--learned-embedding", action="store_true",
+                    help="learn the conditioning wall angles as a map over "
+                         "the binary interaction basis of x (doubles the "
+                         "measured 16q conditioned expressivity bound)")
+    am.add_argument("--embed-per-layer", action="store_true",
+                    help="per-layer learned scales on the embedding wall "
+                         "(requires --learned-embedding and --reupload)")
     am.add_argument("--seed", type=int, default=0)
     return p
 
@@ -244,6 +251,8 @@ def main(argv=None):
             entropy_weight=args.entropy_weight, seed=args.seed,
             reupload=args.reupload, length_scale=args.length_scale,
             chunk_epochs=args.chunk_epochs,
+            learned_embedding=args.learned_embedding,
+            embed_per_layer=args.embed_per_layer,
             lr_phases=([_parse_phase(p) for p in args.lr_phases.split(",")]
                        if args.lr_phases else None))
     raise SystemExit(f"unknown command {args.command}")

@@ -148,25 +148,42 @@ def make_structured_probs_fn_flat(num_wires: int, layers: int,
     def run(params, embed_angles=None):
         state = jnp.full((size,), 1.0 / np.sqrt(float(size)), dtype=dtype)
         mats = block_matrices(params)
-        emb = None
+        emb, per_layer = None, False
         if conditioning:
             if embed_angles is None:
                 raise ValueError("conditioning=True requires embed_angles")
-            E = ry_batched(jnp.asarray(embed_angles).reshape(n)).astype(dtype)
-            emb = []
-            for i, (s, bs) in enumerate(blocks):
-                M = kron_fold([E[q] for q in range(s, s + bs)])
-                emb.append(M)
+            ea = jnp.asarray(embed_angles)
+            per_layer = ea.ndim == 2
+            if per_layer:
+                # Per-layer wall angles (layers, n): each re-uploaded wall
+                # gets its own RY angles (cond_embed_per_layer). Same fold
+                # cost model — the per-layer E_l folds into the layer's
+                # rotation operator stack batched over l.
+                if not reupload:
+                    raise ValueError(
+                        "per-layer embed_angles require reupload=True")
+                E = ry_batched(ea.reshape(layers, n)).astype(dtype)
+                emb = [kron_fold([E[:, q] for q in range(s, s + bs)])
+                       for s, bs in blocks]  # (layers, 2^bs, 2^bs) each
                 if fold_embed:
-                    # Re-uploading: the RY(x) wall precedes EVERY layer,
-                    # folded into the per-layer rotation operators — zero
-                    # extra full-state matmuls. Restores conditional
-                    # expressivity a single input wall lacks (the amortized
-                    # 16q plateau, RESULTS.md).
-                    mats[i] = jnp.einsum("lij,jk->lik", mats[i], M)
-            if not reupload:
-                for (s, bs), M in zip(blocks, emb):
-                    state = apply_adjacent_block(state, M, s, bs, n)
+                    for i in range(len(blocks)):
+                        mats[i] = jnp.einsum("lij,ljk->lik", mats[i], emb[i])
+            else:
+                E = ry_batched(ea.reshape(n)).astype(dtype)
+                emb = []
+                for i, (s, bs) in enumerate(blocks):
+                    M = kron_fold([E[q] for q in range(s, s + bs)])
+                    emb.append(M)
+                    if fold_embed:
+                        # Re-uploading: the RY(x) wall precedes EVERY layer,
+                        # folded into the per-layer rotation operators — zero
+                        # extra full-state matmuls. Restores conditional
+                        # expressivity a single input wall lacks (the
+                        # amortized 16q plateau, RESULTS.md).
+                        mats[i] = jnp.einsum("lij,jk->lik", mats[i], M)
+                if not reupload:
+                    for (s, bs), M in zip(blocks, emb):
+                        state = apply_adjacent_block(state, M, s, bs, n)
         def layer_body(l, state, Ms, emb_t):
             if emb_t:
                 for (s, bs), M in zip(blocks, emb_t):
@@ -196,7 +213,10 @@ def make_structured_probs_fn_flat(num_wires: int, layers: int,
 
         for l in range(layers):
             Ms = [mats[i][l] for i in range(len(blocks))]
-            emb_t = tuple(emb) if (reupload and not fold_embed) else ()
+            emb_t = ()
+            if reupload and not fold_embed:
+                emb_t = (tuple(M[l] for M in emb) if per_layer
+                         else tuple(emb))
             if remat_layers:
                 state = jax.checkpoint(partial(layer_body, l))(state, Ms, emb_t)
             else:
@@ -628,20 +648,34 @@ def make_structured_probs_fn_blockcomposed(num_wires: int, layers: int,
     def run(params, embed_angles=None):
         state = jnp.full((size,), 1.0 / np.sqrt(float(size)), dtype=dtype)
         mats = block_matrices(params)
-        emb = None
+        emb, per_layer = None, False
         if conditioning:
             if embed_angles is None:
                 raise ValueError("conditioning=True requires embed_angles")
-            E = ry_batched(jnp.asarray(embed_angles).reshape(n)).astype(dtype)
-            emb = []
-            for i, (s, bs) in enumerate(blocks):
-                M = kron_fold([E[q] for q in range(s, s + bs)])
-                emb.append(M)
+            ea = jnp.asarray(embed_angles)
+            per_layer = ea.ndim == 2
+            if per_layer:
+                # Per-layer wall angles (layers, n) — see the flat executor.
+                if not reupload:
+                    raise ValueError(
+                        "per-layer embed_angles require reupload=True")
+                E = ry_batched(ea.reshape(layers, n)).astype(dtype)
+                emb = [kron_fold([E[:, q] for q in range(s, s + bs)])
+                       for s, bs in blocks]  # (layers, 2^bs, 2^bs) each
                 if fold_embed:
-                    mats[i] = jnp.einsum("lij,jk->lik", mats[i], M)
-            if not reupload:
-                for (s, bs), M in zip(blocks, emb):
-                    state = apply_adjacent_block(state, M, s, bs, n)
+                    for i in range(len(blocks)):
+                        mats[i] = jnp.einsum("lij,ljk->lik", mats[i], emb[i])
+            else:
+                E = ry_batched(ea.reshape(n)).astype(dtype)
+                emb = []
+                for i, (s, bs) in enumerate(blocks):
+                    M = kron_fold([E[q] for q in range(s, s + bs)])
+                    emb.append(M)
+                    if fold_embed:
+                        mats[i] = jnp.einsum("lij,jk->lik", mats[i], M)
+                if not reupload:
+                    for (s, bs), M in zip(blocks, emb):
+                        state = apply_adjacent_block(state, M, s, bs, n)
         if has_edges:
             # even layers' rotation matrices with the block-diagonal layer
             # permutation folded in (static row gathers, no extra matmuls)
@@ -691,7 +725,10 @@ def make_structured_probs_fn_blockcomposed(num_wires: int, layers: int,
             entangle = has_edges and l % 2 == 0
             Ms = [matsE[i][ei] if entangle else mats[i][l]
                   for i in range(len(blocks))]
-            emb_t = tuple(emb) if (reupload and not fold_embed) else ()
+            emb_t = ()
+            if reupload and not fold_embed:
+                emb_t = (tuple(M[l] for M in emb) if per_layer
+                         else tuple(emb))
             if remat_layers:
                 # Reverse-mode AD stores only layer-boundary states — the
                 # live set that crashes single-chip distill/backwards from

@@ -266,3 +266,46 @@ def test_amortized_learned_embedding_quality_n8():
         q = np.asarray(m.posterior_for(obs))
         tvds.append(0.5 * np.abs(q - post).sum())
     assert np.mean(tvds) < 0.02, tvds
+
+
+def test_cond_embed_per_layer_init_identity_and_gating():
+    """cond_embed_per_layer (round 5): per-layer wall scales initialized to
+    1 must make the model START bit-identical to the shared learned wall
+    (probs equal for every observation), add exactly L*n params, and flow
+    gradients to the scales; the flag requires learned embedding + reupload."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensornetworks_tpu.core import get_random_chain_network
+    from tensornetworks_tpu.models import QuantumBornMachine
+    from tensornetworks_tpu.sim import latent_edges
+
+    n, L, d = 6, 4, 2
+    bn = get_random_chain_network(n + 2, seed=0)
+    latent = [f"V{i}" for i in range(n)]
+    edges = latent_edges(bn, latent)
+    kw = dict(ansatz_layers=L, ansatz_type="bn_structured",
+              conditioning_dim=d, edges=edges, cond_reupload=True,
+              cond_learned_embedding=True)
+    base = QuantumBornMachine(n, **kw)
+    per = QuantumBornMachine(n, **kw, cond_embed_per_layer=True)
+    assert per.num_params == base.num_params + L * n
+
+    kb = jax.random.PRNGKey(3)
+    pb, pp = base.init(kb), per.init(kb)
+    np.testing.assert_array_equal(np.asarray(pb),
+                                  np.asarray(pp[:base.num_params]))
+    for x in ([0.0, 1.0], [1.0, 1.0]):
+        np.testing.assert_allclose(np.asarray(base.probs(pb, x)),
+                                   np.asarray(per.probs(pp, x)), atol=1e-7)
+
+    # scales receive gradient once asked to move
+    v = jnp.asarray(np.random.default_rng(0).normal(size=2 ** n),
+                    dtype=jnp.float32)
+    g = jax.grad(lambda p: per.probs(p, [1.0, 0.0]).astype(jnp.float32) @ v)(pp)
+    assert np.abs(np.asarray(g[base.num_params:])).max() > 0
+
+    with pytest.raises(ValueError, match="cond_embed_per_layer"):
+        QuantumBornMachine(n, ansatz_layers=L, ansatz_type="bn_structured",
+                           conditioning_dim=d, edges=edges,
+                           cond_reupload=True, cond_embed_per_layer=True)

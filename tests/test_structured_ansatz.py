@@ -348,3 +348,42 @@ def test_structured_remat_layers_bit_identical(factory_name):
     ang = jnp.asarray(rng.normal(size=n), dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(jax.jit(cond_plain)(p, ang)),
                                   np.asarray(jax.jit(cond_remat)(p, ang)))
+
+
+@pytest.mark.parametrize("factory_name", ["blockcomposed", "flat"])
+@pytest.mark.parametrize("n,L,block", [(6, 3, 4), (8, 2, 4)])
+def test_per_layer_embed_angles(factory_name, n, L, block):
+    """Per-layer embed_angles (layers, n) — the cond_embed_per_layer
+    executor contract: a tiled copy of a 1D wall must reproduce the
+    shared-wall reupload output exactly (both the fold path, n >= 2b, and
+    the wall-on-state path), distinct per-layer angles must change the
+    distribution, and gradients must flow through the angles."""
+    from tensornetworks_tpu.sim.structured import (
+        make_structured_probs_fn_blockcomposed, make_structured_probs_fn_flat)
+
+    factory = {"blockcomposed": make_structured_probs_fn_blockcomposed,
+               "flat": make_structured_probs_fn_flat}[factory_name]
+    rng = np.random.default_rng(5 * n + L)
+    edges = [(i, i + 1) for i in range(0, n - 1, 2)]
+    p = jnp.asarray(0.1 * rng.normal(size=3 * L * n), dtype=jnp.float32)
+    ang = jnp.asarray(rng.normal(size=n), dtype=jnp.float32)
+    fn = factory(n, L, edges, block=block, conditioning=True, reupload=True)
+
+    shared = np.asarray(fn(p, ang))
+    tiled = np.asarray(fn(p, jnp.tile(ang[None, :], (L, 1))))
+    np.testing.assert_allclose(tiled, shared, atol=5e-7)
+
+    ang2 = jnp.asarray(rng.normal(size=(L, n)), dtype=jnp.float32)
+    distinct = np.asarray(fn(p, ang2))
+    assert np.isclose(distinct.sum(), 1.0, atol=1e-5)
+    assert np.abs(distinct - shared).sum() > 1e-3
+
+    v = jnp.asarray(rng.normal(size=2 ** n), dtype=jnp.float32)
+    g = jax.grad(lambda a: fn(p, a).astype(jnp.float32) @ v)(ang2)
+    assert np.all(np.abs(np.asarray(g)).sum(axis=1) > 0), \
+        "every layer's wall must receive gradient"
+
+    # 2D angles without reupload are rejected
+    fn_plain = factory(n, L, edges, block=block, conditioning=True)
+    with pytest.raises(ValueError, match="reupload"):
+        fn_plain(p, ang2)

@@ -131,6 +131,7 @@ def run_ksd_scan(
     stein_args_schedule=None,
     reuse_loss_forward_for_eval: bool = False,
     noisy_eval: bool = False,
+    chunk_progress: bool = False,
 ):
     """One jitted training program shared by the classical and quantum KSD
     engines. Returns (final_params, best dict, history arrays, stop_epoch).
@@ -323,6 +324,15 @@ def run_ksd_scan(
             parts.append(o)
             done_chunks += 1
             epochs_dispatched += int(len(epochs))
+            if chunk_progress and done_chunks % 10 == 0:
+                # Host-side progress line (in-scan logging is a host
+                # callback, which the axon backend rejects): every 10
+                # dispatched chunks, the running best TVD from the carry.
+                bt = float(np.asarray(carry[3]))
+                print(f"  [chunk] {s + len(epochs)}/{num_epochs} epochs "
+                      f"{sum(t for _, t in chunk_seconds):.0f}s"
+                      + (f" best_tvd={bt:.4f}" if np.isfinite(bt) else ""),
+                      flush=True)
             if resume_state_path:
                 _save_chunk_state(resume_state_path, carry, parts,
                                   s + len(epochs), fingerprint)
@@ -514,6 +524,7 @@ class KSDVariationalInference:
                 stein_args=tables, chunk_epochs=chunk_epochs,
                 resume_state_path=resume_state_path,
                 noisy_eval=noisy_eval,
+                chunk_progress=verbose and not scan_logging_supported(),
             )
 
         if chunk_epochs:
@@ -732,6 +743,7 @@ class QuantumKSDVariationalInference:
                 stein_args=tables, chunk_epochs=chunk_epochs,
                 resume_state_path=resume_state_path,
                 stein_args_schedule=schedule,
+                chunk_progress=verbose and not scan_logging_supported(),
                 # quantum probs are deterministic (no dropout), so the TVD
                 # eval reuses the loss forward — one circuit fwd per epoch.
                 reuse_loss_forward_for_eval=True,
